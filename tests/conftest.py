@@ -3,11 +3,14 @@ import pickle
 import sys
 
 # JAX tests run on a virtual 8-device CPU mesh (real-TPU runs use bench.py).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+# NOTE: the axon sitecustomize force-registers the TPU platform, so the env
+# var alone is not enough — override the config after import.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
