@@ -42,3 +42,9 @@ def srs_1k():
     powers, h, beta_h = cached("srs_1k", build)
     from zprize_tpu.ref.kzg import SRS as S
     return S(powers, h, beta_h)
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

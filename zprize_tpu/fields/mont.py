@@ -133,6 +133,39 @@ def neg(cfg, a):
     return jnp.where(is_zero, a, d)
 
 
+_DIAG_IDX_CACHE = {}
+
+
+def _diag_index(L):
+    """(L, 2L+1) gather indices that place row i's L limb-products at columns
+    i..i+L (column j of the padded row ends up at output col i+j)."""
+    if L not in _DIAG_IDX_CACHE:
+        i = np.arange(L)[:, None]
+        k = np.arange(2 * L + 1)[None, :]
+        idx = (k - i) % (2 * L + 1)
+        _DIAG_IDX_CACHE[L] = idx.astype(np.int32)  # keep as numpy (trace-safe)
+    return jnp.asarray(_DIAG_IDX_CACHE[L])
+
+
+def _mul_columns(a, b, L):
+    """Full product column sums: out[..., k] = sum_{i+j=k} a_i*b_j, split
+    into 16-bit lo/hi contributions (each column < 2L * 2^16 << 2^32).
+    Vectorized: outer product + anti-diagonal gather + reduce (no per-limb
+    Python loop, so the HLO stays small)."""
+    p = a[..., :, None] * b[..., None, :]          # (..., L, L) exact u32
+    lo = p & MASK
+    hi = p >> LIMB_BITS
+    width = 2 * L + 1
+    zpad = jnp.zeros(p.shape[:-1] + (width - L,), dtype=U32)
+    lo_p = jnp.concatenate([lo, zpad], axis=-1)
+    hi_p = jnp.concatenate([hi, zpad], axis=-1)
+    idx = jnp.broadcast_to(_diag_index(L), lo_p.shape)
+    lo_r = jnp.take_along_axis(lo_p, idx, axis=-1)
+    hi_r = jnp.take_along_axis(hi_p, idx, axis=-1)
+    t = jnp.sum(lo_r, axis=-2) + jnp.sum(jnp.roll(hi_r, 1, axis=-1), axis=-2)
+    return t
+
+
 def mont_mul(cfg, a, b):
     """Montgomery product: a*b*R^{-1} mod p. Schoolbook columns + CIOS
     reduction; every intermediate column stays far below 2^32."""
@@ -140,13 +173,7 @@ def mont_mul(cfg, a, b):
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, shape + (L,))
     b = jnp.broadcast_to(b, shape + (L,))
-    t = jnp.zeros(shape + (2 * L + 1,), dtype=U32)
-    for i in range(L):
-        p = a[..., i:i + 1] * b          # exact in u32
-        lo = p & MASK
-        hi = p >> LIMB_BITS
-        t = t.at[..., i:i + L].add(lo)
-        t = t.at[..., i + 1:i + L + 1].add(hi)
+    t = _mul_columns(a, b, L)
 
     mod = jnp.asarray(cfg.mod_limbs, dtype=U32)
     for k in range(L):
