@@ -1,31 +1,35 @@
 """Vectorized Montgomery field arithmetic over 16-bit limbs (JAX).
 
 TPU-native counterpart of the reference's CUDA `mont_t` CIOS kernels
-(`lib/PLONK/utils/mont/cuda/ff/mont_t.cuh`) — but as array programs over
-(..., L)-shaped uint32 tensors so XLA vectorizes across the batch on the VPU.
+(`lib/PLONK/utils/mont/cuda/ff/mont_t.cuh`) — redesigned as *fully
+vectorized* array programs (no per-limb Python loops):
 
-Invariants:
-  * limbs are < 2^16 on entry/exit of every public op ("normalized");
-  * values are in Montgomery form (x·R mod p, R = 2^(16 L)) unless the name
-    says otherwise;
-  * all public ops return fully reduced values (< p).
+  * products: outer-product + anti-diagonal gather column sums;
+  * Montgomery reduction: non-interleaved REDC — m = T*N' mod R and T + m*N
+    are convolutions against constant limb vectors;
+  * carries: two folding rounds then a Kogge-Stone prefix over
+    (generate, propagate) bits — log-depth and ~30 ops regardless of width.
+
+This keeps the per-op jaxpr small (~200 eqns per mul vs ~900 for a CIOS
+loop), which keeps XLA compile times of scan/NTT/MSM graphs tractable.
+
+Invariants: limbs < 2^16 in uint32 lanes; values in Montgomery form unless
+noted; all public ops return fully reduced values (< p).
 """
-
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..params import R_MOD, Q_MOD
-from .limb import int_to_limbs, ints_to_limbs, limbs_to_ints, LIMB_BITS, LIMB_MASK
+from .limb import int_to_limbs, ints_to_limbs, limbs_to_ints, LIMB_BITS
 
 U32 = jnp.uint32
-MASK = np.uint32(LIMB_MASK)
+MASK = np.uint32((1 << LIMB_BITS) - 1)
 
 
 class FieldCtx:
-    """Static field configuration (captured as compile-time constants)."""
+    """Static field configuration (compile-time constants)."""
 
     def __init__(self, mod: int, L: int, name: str):
         self.mod = mod
@@ -33,18 +37,16 @@ class FieldCtx:
         self.name = name
         self.R = (1 << (LIMB_BITS * L)) % mod
         self.R2 = (self.R * self.R) % mod
-        # n0 = -mod^{-1} mod 2^16
-        self.n0 = np.uint32((-pow(mod, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+        n_prime = (-pow(mod, -1, 1 << (LIMB_BITS * L))) % (1 << (LIMB_BITS * L))
+        self.nprime_limbs = int_to_limbs(n_prime, L)   # -mod^-1 mod R
         self.mod_limbs = int_to_limbs(mod, L)
         self.r2_limbs = int_to_limbs(self.R2, L)
-        self.one_mont = int_to_limbs(self.R, L)          # 1 in Montgomery form
-        self.zero = np.zeros(L, dtype=np.uint32)
-        # exponent bits for Fermat inversion (p-2), little-endian
-        self.inv_exp_bits = [(mod - 2) >> i & 1 for i in range((mod - 2).bit_length())]
+        self.one_mont = int_to_limbs(self.R, L)
+        self.inv_exp_bits = [(mod - 2) >> i & 1
+                             for i in range((mod - 2).bit_length())]
 
     # ---------------- host conversions ----------------
     def to_mont_host(self, xs) -> np.ndarray:
-        """Python ints -> Montgomery limb array (n, L) on host."""
         return ints_to_limbs([x * self.R % self.mod for x in xs], self.L)
 
     def from_mont_host(self, arr) -> list:
@@ -60,136 +62,143 @@ FQ = FieldCtx(Q_MOD, 24, "fq")
 
 
 # ---------------------------------------------------------------------------
-# low-level limb helpers (all shapes (..., L), uint32)
+# carry machinery
 # ---------------------------------------------------------------------------
 
-def _normalize(t, L):
-    """Carry-propagate an (..., K>=L) column vector to L 16-bit limbs.
-    Caller guarantees the value fits in L limbs."""
-    outs = []
-    carry = jnp.zeros_like(t[..., 0])
-    for k in range(L):
-        v = t[..., k] + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+def _shift_up(x, d, fill=0):
+    """out[..., k] = x[..., k-d] (zero/False fill)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x, pad, constant_values=fill)[..., :x.shape[-1]]
 
 
-def _sub_limbs(a, b, L):
-    """(a - b) mod 2^(16L), plus final borrow flag (1 if a < b)."""
-    outs = []
-    borrow = jnp.zeros_like(a[..., 0])
-    top = np.uint32(1 << LIMB_BITS)
-    for k in range(L):
-        d = a[..., k] + top - b[..., k] - borrow
-        outs.append(d & MASK)
-        borrow = jnp.uint32(1) - (d >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+def _norm_ks(t):
+    """Exact carry normalization of column sums (cols < 2^23).
+    Input (..., K) -> output (..., K+1) 16-bit limbs (top limb is the
+    carry-out, < 2^16)."""
+    K = t.shape[-1]
+    pad = [(0, 0)] * (t.ndim - 1) + [(0, 1)]
+    t = jnp.pad(t, pad)  # headroom column
+    # two folding rounds: cols < 2^23 -> <= 2^16
+    for _ in range(2):
+        t = (t & MASK) + _shift_up(t >> LIMB_BITS, 1)
+    # now t[k] <= 65536: single-bit generates; Kogge-Stone the +1 chains
+    g = (t >> LIMB_BITS) != 0
+    r = t & MASK
+    p = r == MASK
+    G, P = g, p
+    d = 1
+    while d < K + 1:
+        G = G | (P & _shift_up(G, d, False))
+        P = P & _shift_up(P, d, False)
+        d <<= 1
+    carry_in = _shift_up(G, 1, False)
+    return (r + carry_in.astype(U32)) & MASK
 
 
-def _add_limbs(a, b, L):
-    outs = []
-    carry = jnp.zeros_like(a[..., 0])
-    for k in range(L):
-        v = a[..., k] + b[..., k] + carry
-        outs.append(v & MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1), carry
+def _twos_complement_sub(a, b_limbs):
+    """a - b over (..., L): returns (diff limbs, no_borrow flag).
+    no_borrow == 1 means a >= b."""
+    L = a.shape[-1]
+    t = a + (MASK - b_limbs)
+    t = t.at[..., 0].add(1)
+    f = _norm_ks(t)
+    return f[..., :L], f[..., L]
 
 
-def _cond_sub_mod(cfg, a, extra_carry=None):
-    """Subtract mod once if a >= mod (a < 2*mod assumed). `extra_carry` is a
-    1-valued flag meaning a has an implicit 2^(16L) term."""
-    mod = jnp.asarray(cfg.mod_limbs, dtype=U32)
-    diff, borrow = _sub_limbs(a, jnp.broadcast_to(mod, a.shape), cfg.L)
-    if extra_carry is not None:
-        take_diff = jnp.logical_or(borrow == 0, extra_carry != 0)
-    else:
-        take_diff = borrow == 0
-    return jnp.where(take_diff[..., None], diff, a)
+# ---------------------------------------------------------------------------
+# column products
+# ---------------------------------------------------------------------------
+
+_DIAG_IDX_CACHE = {}
+
+
+def _diag_index(L, width):
+    key = (L, width)
+    if key not in _DIAG_IDX_CACHE:
+        i = np.arange(L)[:, None]
+        k = np.arange(width)[None, :]
+        idx = (k - i) % width
+        _DIAG_IDX_CACHE[key] = idx.astype(np.int32)
+    return jnp.asarray(_DIAG_IDX_CACHE[key])
+
+
+def _conv_columns(a, b, width):
+    """Column sums of the product of limb vectors a (..., L) x b (..., Lb),
+    truncated to `width` columns; contributions split 16/16 so each column
+    stays < 2L * 2^16. b may be a constant (L,) vector."""
+    L = a.shape[-1]
+    Lb = b.shape[-1]
+    p = a[..., :, None] * b[..., None, :]      # (..., L, Lb) exact u32
+    lo = p & MASK
+    hi = p >> LIMB_BITS
+    # gather at full width so wrapped indices always land on zero padding,
+    # then truncate the OUTPUT columns (truncation == reduction mod 2^(16w))
+    full = L + Lb + 1
+    padding = [(0, 0)] * (p.ndim - 1) + [(0, full - Lb)]
+    lo = jnp.pad(lo, padding)
+    hi = jnp.pad(hi, padding)
+    idx = jnp.broadcast_to(_diag_index(L, full), lo.shape)
+    lo_r = jnp.take_along_axis(lo, idx, axis=-1)
+    hi_r = jnp.take_along_axis(hi, idx, axis=-1)
+    # row i's entries are now at columns i+j; hi parts belong one col higher
+    t = jnp.sum(lo_r, axis=-2) + _shift_up(jnp.sum(hi_r, axis=-2), 1)
+    return t[..., :width]
 
 
 # ---------------------------------------------------------------------------
 # public field ops
 # ---------------------------------------------------------------------------
 
+def _cond_sub_mod(cfg, a, extra_carry=None):
+    mod = jnp.asarray(cfg.mod_limbs, dtype=U32)
+    diff, no_borrow = _twos_complement_sub(a, mod)
+    take = no_borrow != 0
+    if extra_carry is not None:
+        take = jnp.logical_or(take, extra_carry != 0)
+    return jnp.where(take[..., None], diff, a)
+
+
 def add(cfg, a, b):
-    s, carry = _add_limbs(a, b, cfg.L)
-    return _cond_sub_mod(cfg, s, extra_carry=carry)
+    f = _norm_ks(a + b)
+    return _cond_sub_mod(cfg, f[..., :cfg.L], extra_carry=f[..., cfg.L])
 
 
 def sub(cfg, a, b):
-    d, borrow = _sub_limbs(a, b, cfg.L)
+    d, no_borrow = _twos_complement_sub(a, b)
     mod = jnp.asarray(cfg.mod_limbs, dtype=U32)
-    d2, _ = _add_limbs(d, jnp.broadcast_to(mod, d.shape), cfg.L)
-    return jnp.where((borrow != 0)[..., None], d2, d)
+    d2 = _norm_ks(d + mod)[..., :cfg.L]
+    return jnp.where((no_borrow == 0)[..., None], d2, d)
 
 
 def neg(cfg, a):
-    mod = jnp.asarray(cfg.mod_limbs, dtype=U32)
-    d, _ = _sub_limbs(jnp.broadcast_to(mod, a.shape), a, cfg.L)
-    # neg(0) must be 0, not mod
-    is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
-    return jnp.where(is_zero, a, d)
-
-
-_DIAG_IDX_CACHE = {}
-
-
-def _diag_index(L):
-    """(L, 2L+1) gather indices that place row i's L limb-products at columns
-    i..i+L (column j of the padded row ends up at output col i+j)."""
-    if L not in _DIAG_IDX_CACHE:
-        i = np.arange(L)[:, None]
-        k = np.arange(2 * L + 1)[None, :]
-        idx = (k - i) % (2 * L + 1)
-        _DIAG_IDX_CACHE[L] = idx.astype(np.int32)  # keep as numpy (trace-safe)
-    return jnp.asarray(_DIAG_IDX_CACHE[L])
-
-
-def _mul_columns(a, b, L):
-    """Full product column sums: out[..., k] = sum_{i+j=k} a_i*b_j, split
-    into 16-bit lo/hi contributions (each column < 2L * 2^16 << 2^32).
-    Vectorized: outer product + anti-diagonal gather + reduce (no per-limb
-    Python loop, so the HLO stays small)."""
-    p = a[..., :, None] * b[..., None, :]          # (..., L, L) exact u32
-    lo = p & MASK
-    hi = p >> LIMB_BITS
-    width = 2 * L + 1
-    zpad = jnp.zeros(p.shape[:-1] + (width - L,), dtype=U32)
-    lo_p = jnp.concatenate([lo, zpad], axis=-1)
-    hi_p = jnp.concatenate([hi, zpad], axis=-1)
-    idx = jnp.broadcast_to(_diag_index(L), lo_p.shape)
-    lo_r = jnp.take_along_axis(lo_p, idx, axis=-1)
-    hi_r = jnp.take_along_axis(hi_p, idx, axis=-1)
-    t = jnp.sum(lo_r, axis=-2) + jnp.sum(jnp.roll(hi_r, 1, axis=-1), axis=-2)
-    return t
+    mod = jnp.broadcast_to(jnp.asarray(cfg.mod_limbs, dtype=U32), a.shape)
+    d, _ = _twos_complement_sub(mod, a)
+    is_z = jnp.all(a == 0, axis=-1, keepdims=True)
+    return jnp.where(is_z, a, d)
 
 
 def mont_mul(cfg, a, b):
-    """Montgomery product: a*b*R^{-1} mod p. Schoolbook columns + CIOS
-    reduction; every intermediate column stays far below 2^32."""
+    """REDC: (a*b + m*N)/R with m = (a*b mod R)*N' mod R."""
     L = cfg.L
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     a = jnp.broadcast_to(a, shape + (L,))
     b = jnp.broadcast_to(b, shape + (L,))
-    t = _mul_columns(a, b, L)
+    nprime = jnp.asarray(cfg.nprime_limbs, dtype=U32)
+    nmod = jnp.asarray(cfg.mod_limbs, dtype=U32)
 
-    mod = jnp.asarray(cfg.mod_limbs, dtype=U32)
-    for k in range(L):
-        m = ((t[..., k] & MASK) * cfg.n0) & MASK
-        p = m[..., None] * mod
-        lo = p & MASK
-        hi = p >> LIMB_BITS
-        t = t.at[..., k:k + L].add(lo)
-        t = t.at[..., k + 1:k + L + 1].add(hi)
-        # column k is now divisible by 2^16: push its carry up
-        t = t.at[..., k + 1].add(t[..., k] >> LIMB_BITS)
-
-    r = _normalize(t[..., L:2 * L + 1], L + 1)
-    hi_limb = r[..., L]
-    r = r[..., :L]
-    return _cond_sub_mod(cfg, r, extra_carry=hi_limb)
+    T = _conv_columns(a, b, 2 * L + 1)              # cols < 2^22
+    Tlow = T[..., :L]
+    Tl = Tlow & MASK
+    Th = Tlow >> LIMB_BITS                          # < 2^6
+    m_cols = _conv_columns(Tl, nprime, L) + \
+        _shift_up(_conv_columns(Th, nprime, L), 1)  # cols < 2^23
+    m = _norm_ks(m_cols)[..., :L]                   # mod R
+    U = _conv_columns(m, nmod, 2 * L + 1)
+    X = T + U                                       # cols < 2^23
+    Xn = _norm_ks(X)                                # (..., 2L+2) exact
+    r = Xn[..., L:2 * L]
+    extra = Xn[..., 2 * L]                          # 0 or 1 (result < 2N)
+    return _cond_sub_mod(cfg, r, extra_carry=extra)
 
 
 def mont_sqr(cfg, a):
@@ -197,9 +206,7 @@ def mont_sqr(cfg, a):
 
 
 def mont_pow_fixed(cfg, a, exp_bits_le):
-    """a^e with a compile-time exponent (square-and-multiply, LSB-first).
-    Uses a rolled fori_loop so the compiled graph stays small (one mont_mul +
-    one mont_sqr body) instead of ~2*255 unrolled multiplies."""
+    """a^e, compile-time exponent, rolled fori_loop (small graph)."""
     bits = jnp.asarray(np.asarray(exp_bits_le, dtype=np.uint32))
     one = jnp.broadcast_to(jnp.asarray(cfg.one_mont, dtype=U32), a.shape)
 
@@ -220,16 +227,13 @@ def inv(cfg, a):
 
 
 def batch_inv(cfg, a):
-    """Montgomery batched inversion along axis 0 of (n, L): one Fermat chain
-    for the whole batch (counterpart of the GPU's n-point `inv_mod` usage)."""
-    n = a.shape[0]
+    """Montgomery batched inversion along axis 0 of (n, L)."""
     one = jnp.asarray(cfg.one_mont, dtype=U32)
-    is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
-    safe = jnp.where(is_zero, one, a)
+    is_z = jnp.all(a == 0, axis=-1, keepdims=True)
+    safe = jnp.where(is_z, one, a)
 
     def body(carry, x):
-        nxt = mont_mul(cfg, carry, x)
-        return nxt, carry  # exclusive prefix
+        return mont_mul(cfg, carry, x), carry  # exclusive prefix
 
     total, prefix = jax.lax.scan(body, one, safe)
     total_inv = inv(cfg, total[None])[0]
@@ -241,7 +245,7 @@ def batch_inv(cfg, a):
         return carry, out
 
     _, out = jax.lax.scan(body2, total_inv, (safe, prefix), reverse=True)
-    return jnp.where(is_zero, jnp.zeros_like(a), out)
+    return jnp.where(is_z, jnp.zeros_like(a), out)
 
 
 def to_mont(cfg, a_raw):
@@ -254,7 +258,6 @@ def from_mont(cfg, a):
 
 
 def select(mask, a, b):
-    """mask: (...,) bool -> elementwise select over limb arrays."""
     return jnp.where(mask[..., None], a, b)
 
 

@@ -27,8 +27,7 @@ from ..fields.mont import FR, FQ, U32
 from ..curve import g1
 from ..ref.curve import g1_add as host_g1_add, g1_double as host_g1_double
 
-WINDOW_BITS = 16
-NUM_WINDOWS = 16  # 256 bits / 16
+WINDOW_BITS = 16  # production default (digits == 16-bit scalar limbs)
 SCAN_CHUNK = 128
 
 
@@ -82,11 +81,23 @@ def point_scan(pts, chunk=SCAN_CHUNK):
     return {k: v[:n] for k, v in out.items()}
 
 
-@jax.jit
-def msm_window(x_mont, y_mont, inf_mask, digits_w):
+def limbs16_to_digits(raw_limbs, window_bits):
+    """(n, 16) 16-bit limbs -> (n, num_windows) digits of `window_bits` bits.
+    window_bits must divide 16."""
+    assert 16 % window_bits == 0
+    if window_bits == 16:
+        return raw_limbs
+    per = 16 // window_bits
+    mask = np.uint32((1 << window_bits) - 1)
+    parts = [(raw_limbs >> (window_bits * i)) & mask for i in range(per)]
+    return jnp.stack(parts, axis=-1).reshape(raw_limbs.shape[0], -1)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def msm_window(x_mont, y_mont, inf_mask, digits_w, window_bits):
     """One Pippenger window -> single xyzz point (dict of (L,) arrays)."""
     n = digits_w.shape[0]
-    B = 1 << WINDOW_BITS
+    B = 1 << window_bits
     order = jnp.argsort(digits_w)
     d_sorted = jnp.take(digits_w, order)
     pts = g1.xyzz_from_affine(
@@ -112,29 +123,31 @@ def msm_window(x_mont, y_mont, inf_mask, digits_w):
     return {k: v[-1] for k, v in total_scan.items()}
 
 
-def msm_device(points_dev, raw_scalar_limbs):
+def msm_device(points_dev, raw_scalar_limbs, window_bits=WINDOW_BITS):
     """points_dev = (x_mont, y_mont, inf_mask); raw_scalar_limbs (n, 16)
     uint32 16-bit limbs of canonical scalars. Returns affine Python point."""
     x_mont, y_mont, inf_mask = points_dev
+    digits = limbs16_to_digits(raw_scalar_limbs, window_bits)
+    num_windows = digits.shape[1]
     window_points = []
-    for w in range(NUM_WINDOWS):
-        wp = msm_window(x_mont, y_mont, inf_mask, raw_scalar_limbs[:, w])
+    for w in range(num_windows):
+        wp = msm_window(x_mont, y_mont, inf_mask, digits[:, w], window_bits)
         window_points.append(wp)
     batch = _stack(window_points)
     affine = g1.xyzz_to_affine_host(batch)
     acc = None
-    for wp in reversed(affine):  # w = 15 .. 0
-        for _ in range(WINDOW_BITS):
+    for wp in reversed(affine):  # most-significant window first
+        for _ in range(window_bits):
             acc = host_g1_double(acc)
         acc = host_g1_add(acc, wp)
     return acc
 
 
-def msm(points, scalars_ints):
+def msm(points, scalars_ints, window_bits=WINDOW_BITS):
     """Convenience: host points/scalars -> MSM result."""
     from ..fields.limb import ints_to_limbs
     from ..curve.g1 import affine_points_to_device
     dev = affine_points_to_device(points)
     digits = jnp.asarray(ints_to_limbs(
-        [s % (1 << 256) for s in scalars_ints], NUM_WINDOWS))
-    return msm_device(dev, digits)
+        [s % (1 << 256) for s in scalars_ints], 16))
+    return msm_device(dev, digits, window_bits)
