@@ -1,0 +1,81 @@
+"""The TPU prover must produce BYTE-IDENTICAL proofs to the executable spec
+(and they must verify). This is the central differential test of the whole
+device pipeline (NTT, scans, widget math, linearisation, openings)."""
+
+import pytest
+
+from zprize_tpu.params import R_MOD
+from zprize_tpu.circuit.composer import StandardComposer
+from zprize_tpu.ref import prover as rp
+from zprize_tpu.ref.verifier import verify
+from zprize_tpu.protocol.transcript_protocol import TranscriptProtocol
+from zprize_tpu.protocol import prover_tpu as tp
+
+
+def _build_circuit():
+    cs = StandardComposer()
+    a = cs.add_input(20)
+    b = cs.add_input(5)
+    cs.arithmetic_gate(q_l=1, q_r=1, w_l=a, w_r=b, q_o=0, w_o=cs.zero_var,
+                       pi=(-25) % R_MOD)
+    e = cs.mul(a, b)
+    cs.constrain_to_constant(e, 100)
+    cs.range_gate(a, 6)
+    return cs
+
+
+def _proofs_equal(p1, p2):
+    assert p1.a_comm == p2.a_comm
+    assert p1.b_comm == p2.b_comm
+    assert p1.c_comm == p2.c_comm
+    assert p1.d_comm == p2.d_comm
+    assert p1.f_comm == p2.f_comm
+    assert p1.h_1_comm == p2.h_1_comm
+    assert p1.h_2_comm == p2.h_2_comm
+    assert p1.z_comm == p2.z_comm
+    assert p1.z_2_comm == p2.z_2_comm
+    assert p1.t_comms == p2.t_comms
+    assert p1.evaluations == p2.evaluations
+    assert p1.aw_opening == p2.aw_opening
+    assert p1.saw_opening == p2.saw_opening
+
+
+@pytest.mark.slow
+def test_tpu_prover_bit_exact(srs_1k):
+    cs = _build_circuit()
+    tr = TranscriptProtocol(b"test")
+    pk, vk = rp.preprocess(cs, srs_1k, tr)
+
+    proof_ref = rp.prove(cs, pk, srs_1k, tr.clone())
+
+    dev_pk = tp.DevProverKey.from_ref(pk)
+    dev_srs = tp.DevSRS(srs_1k, device=False)
+    cfg = tp.ProverConfig(msm_backend="host")
+    proof_tpu = tp.prove_tpu(cs, dev_pk, dev_srs, tr.clone(), cfg)
+
+    _proofs_equal(proof_ref, proof_tpu)
+
+    vtr = TranscriptProtocol(b"test")
+    rp.seed_transcript(vtr, vk)
+    assert verify(vk, srs_1k, proof_tpu, cs.public_inputs, vtr)
+
+
+@pytest.mark.slow
+def test_tpu_prover_lookup_circuit_bit_exact(srs_1k):
+    cs = StandardComposer()
+    cs.lookup_table.insert_multiple_xor(0, 4)
+    a = cs.add_input(2)
+    b = cs.add_input(3)
+    c = cs.add_input(1)
+    cs.lookup_gate(a, b, c)
+    tr = TranscriptProtocol(b"lk")
+    pk, vk = rp.preprocess(cs, srs_1k, tr)
+    proof_ref = rp.prove(cs, pk, srs_1k, tr.clone())
+    dev_pk = tp.DevProverKey.from_ref(pk)
+    dev_srs = tp.DevSRS(srs_1k, device=False)
+    cfg = tp.ProverConfig(msm_backend="host")
+    proof_tpu = tp.prove_tpu(cs, dev_pk, dev_srs, tr.clone(), cfg)
+    _proofs_equal(proof_ref, proof_tpu)
+    vtr = TranscriptProtocol(b"lk")
+    rp.seed_transcript(vtr, vk)
+    assert verify(vk, srs_1k, proof_tpu, cs.public_inputs, vtr)

@@ -40,10 +40,22 @@ def _to_dev(ints):
     return jnp.asarray(FR.to_mont_host(ints))
 
 
+class ProverConfig:
+    """msm_backend: 'device' runs the scan-based Pippenger on the accelerator
+    (production); 'host' pulls scalars and uses the Python oracle MSM — used
+    by CPU-mesh tests where the emulated device MSM is the slow part."""
+
+    def __init__(self, msm_backend="device", msm_window_bits=16):
+        self.msm_backend = msm_backend
+        self.msm_window_bits = msm_window_bits
+
+
 class DevSRS:
-    def __init__(self, srs):
-        self.points = jg1.affine_points_to_device(srs.powers_of_g)
+    def __init__(self, srs, device=True):
+        self.ref = srs
         self.size = len(srs.powers_of_g)
+        self.points = (jg1.affine_points_to_device(srs.powers_of_g)
+                       if device else None)
 
 
 class DevProverKey:
@@ -68,15 +80,21 @@ class DevProverKey:
         return self
 
 
-def commit(dev_srs: DevSRS, poly_mont):
+def commit(dev_srs: DevSRS, poly_mont, cfg: ProverConfig):
     """KZG commit = MSM(SRS, from_mont(coeffs)) (kzg10.cu `commit`)."""
     n = poly_mont.shape[0]
+    if cfg.msm_backend == "host":
+        from ..ref import kzg as ref_kzg
+        ints = FR.from_mont_host(np.asarray(poly_mont))
+        return ref_kzg.commit(dev_srs.ref, ints)
     raw = mont.from_mont(FR, poly_mont)  # 16-bit limbs == window digits
     pts = tuple(p[:n] for p in dev_srs.points)
-    return jmsm.msm_device(pts, raw)
+    return jmsm.msm_device(pts, raw, cfg.msm_window_bits)
 
 
-def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript):
+def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript,
+              cfg: ProverConfig = None):
+    cfg = cfg or ProverConfig()
     n = dev_pk.n
     log_n = dev_pk.log_n
     plan = jntt.get_plan(log_n)
@@ -93,7 +111,7 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript):
         wire_ints.append(col)
     wires_dev = [_to_dev(c) for c in wire_ints]
     wire_polys = [jntt.intt(plan, w) for w in wires_dev]
-    w_comms = [commit(dev_srs, p) for p in wire_polys]
+    w_comms = [commit(dev_srs, p, cfg) for p in wire_polys]
     for label, c in zip((b"w_l", b"w_r", b"w_o", b"w_4"), w_comms):
         t.append_g1(label, c)
 
@@ -118,7 +136,7 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript):
     compressed_f = W.lc4(FV(f_cols[0]), FV(f_cols[1]), FV(f_cols[2]),
                          FV(f_cols[3]), zeta).v
     f_poly = jntt.intt(plan, compressed_f)
-    f_comm = commit(dev_srs, f_poly)
+    f_comm = commit(dev_srs, f_poly, cfg)
     t.append_g1(b"f", f_comm)
 
     # combine_split on host (order-sensitive bucketing; O(n))
@@ -129,8 +147,8 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript):
     h_2 = _to_dev(h_2_ints)
     h_1_poly = jntt.intt(plan, h_1)
     h_2_poly = jntt.intt(plan, h_2)
-    h_1_comm = commit(dev_srs, h_1_poly)
-    h_2_comm = commit(dev_srs, h_2_poly)
+    h_1_comm = commit(dev_srs, h_1_poly, cfg)
+    h_2_comm = commit(dev_srs, h_2_poly, cfg)
     t.append_g1(b"h1", h_1_comm)
     t.append_g1(b"h2", h_2_comm)
 
@@ -150,13 +168,13 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript):
     z_evals = compute_permutation_evals(
         plan, wires_dev, dev_pk.sigma_evals_n, beta, gamma)
     z_poly = jntt.intt(plan, z_evals)
-    z_comm = commit(dev_srs, z_poly)
+    z_comm = commit(dev_srs, z_poly, cfg)
     t.append_g1(b"z", z_comm)
 
     z2_evals = compute_lookup_permutation_evals(
         compressed_f, compressed_t, h_1, h_2, delta_ch, epsilon)
     z_2_poly = jntt.intt(plan, z2_evals)
-    z_2_comm = commit(dev_srs, z_2_poly)
+    z_2_comm = commit(dev_srs, z_2_poly, cfg)
 
     pi_dense = [0] * n
     for pos, v in cs.public_inputs.items():
@@ -184,7 +202,7 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript):
         range_i, logic_i, fbsm_i, ca_i, lookup_i)
 
     t_i_polys = [t_coeffs[i * n:(i + 1) * n] for i in range(8)]
-    t_comms = [commit(dev_srs, p) for p in t_i_polys]
+    t_comms = [commit(dev_srs, p, cfg) for p in t_i_polys]
     for i in range(8):
         t.append_g1(b"t_" + str(i + 1).encode(), t_comms[i])
 
@@ -221,14 +239,14 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript):
     aw_polys = [lin_poly, dev_pk.sigma_poly[0], dev_pk.sigma_poly[1],
                 dev_pk.sigma_poly[2], f_poly, h_2_poly, table_poly,
                 wire_polys[0], wire_polys[1], wire_polys[2], wire_polys[3]]
-    aw_opening = open_aggregate_device(dev_srs, aw_polys, z_ch_i, aw_i)
+    aw_opening = open_aggregate_device(dev_srs, aw_polys, z_ch_i, aw_i, cfg)
 
     saw_i = t.challenge_scalar(b"aggregate_witness")
     omega = jntt.get_plan(log_n).omega
     shifted = z_ch_i * omega % M
     saw_polys = [z_poly, wire_polys[0], wire_polys[1], wire_polys[3],
                  h_1_poly, z_2_poly, table_poly]
-    saw_opening = open_aggregate_device(dev_srs, saw_polys, shifted, saw_i)
+    saw_opening = open_aggregate_device(dev_srs, saw_polys, shifted, saw_i, cfg)
 
     return Proof(
         a_comm=w_comms[0], b_comm=w_comms[1], c_comm=w_comms[2],
@@ -425,7 +443,7 @@ def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
     def spoly(name):
         return FV(sp[name])
 
-    gate = (spoly("q_m").__mul__(FV.const(a_eval * b_eval % M))
+    gate = (spoly("q_m") * FV.const(a_eval * b_eval % M)
             + spoly("q_l") * FV.const(a_eval)
             + spoly("q_r") * FV.const(b_eval)
             + spoly("q_o") * FV.const(c_eval)
@@ -490,7 +508,7 @@ def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
     return lin.v, evaluations
 
 
-def open_aggregate_device(dev_srs, polys, point_i, challenge_i):
+def open_aggregate_device(dev_srs, polys, point_i, challenge_i, cfg):
     """chi-aggregation + synthetic division + MSM (kzg10.cu:87-146)."""
     agg = None
     chi = 1
@@ -499,4 +517,4 @@ def open_aggregate_device(dev_srs, polys, point_i, challenge_i):
         agg = scaled if agg is None else agg + scaled
         chi = chi * challenge_i % M
     q, _ = jpoly.divide_linear(FR, agg.v, _to_dev([point_i])[0])
-    return commit(dev_srs, q)
+    return commit(dev_srs, q, cfg)
