@@ -51,7 +51,8 @@ def test_tpu_prover_bit_exact(srs_1k):
     dev_pk = tp.DevProverKey.from_ref(pk)
     dev_srs = tp.DevSRS(srs_1k, device=False)
     cfg = tp.ProverConfig(msm_backend="host")
-    proof_tpu = tp.prove_tpu(cs, dev_pk, dev_srs, tr.clone(), cfg)
+    witness = tp.ProverWitness.from_composer(cs, pk.n)
+    proof_tpu = tp.prove_tpu(witness, dev_pk, dev_srs, tr.clone(), cfg)
 
     _proofs_equal(proof_ref, proof_tpu)
 
@@ -74,7 +75,8 @@ def test_tpu_prover_lookup_circuit_bit_exact(srs_1k):
     dev_pk = tp.DevProverKey.from_ref(pk)
     dev_srs = tp.DevSRS(srs_1k, device=False)
     cfg = tp.ProverConfig(msm_backend="host")
-    proof_tpu = tp.prove_tpu(cs, dev_pk, dev_srs, tr.clone(), cfg)
+    witness = tp.ProverWitness.from_composer(cs, pk.n)
+    proof_tpu = tp.prove_tpu(witness, dev_pk, dev_srs, tr.clone(), cfg)
     _proofs_equal(proof_ref, proof_tpu)
     vtr = TranscriptProtocol(b"lk")
     rp.seed_transcript(vtr, vk)

@@ -92,8 +92,28 @@ def commit(dev_srs: DevSRS, poly_mont, cfg: ProverConfig):
     return jmsm.msm_device(pts, raw, cfg.msm_window_bits)
 
 
-def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript,
-              cfg: ProverConfig = None):
+class ProverWitness:
+    """Per-proof inputs: wire value columns in evaluation form (device,
+    Montgomery), sparse public inputs, and the q_lookup==0 mask."""
+
+    def __init__(self, wires_dev, public_inputs, q_lookup_zero_mask):
+        self.wires_dev = wires_dev
+        self.public_inputs = public_inputs
+        self.q_lookup_zero_mask = q_lookup_zero_mask
+
+    @classmethod
+    def from_composer(cls, cs, n):
+        val = cs.variables
+        wires_dev = []
+        for wires in (cs.w_l, cs.w_r, cs.w_o, cs.w_4):
+            col = [val[v] for v in wires] + [0] * (n - len(wires))
+            wires_dev.append(_to_dev(col))
+        mask = mont.is_zero(dev_pk_q_lookup_evals(cs, n))
+        return cls(wires_dev, dict(cs.public_inputs), mask)
+
+
+def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
+              dev_srs: DevSRS, transcript, cfg: ProverConfig = None):
     cfg = cfg or ProverConfig()
     n = dev_pk.n
     log_n = dev_pk.log_n
@@ -101,15 +121,10 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript,
     plan8 = jntt.get_plan(log_n + 3)
     t = transcript
 
-    t.append_pi(b"pi", cs.public_inputs)
+    t.append_pi(b"pi", witness.public_inputs)
 
     # ------------------------------------------------------------- round 1
-    val = cs.variables
-    wire_ints = []
-    for wires in (cs.w_l, cs.w_r, cs.w_o, cs.w_4):
-        col = [val[v] for v in wires] + [0] * (n - len(wires))
-        wire_ints.append(col)
-    wires_dev = [_to_dev(c) for c in wire_ints]
+    wires_dev = witness.wires_dev
     wire_polys = [jntt.intt(plan, w) for w in wires_dev]
     w_comms = [commit(dev_srs, p, cfg) for p in wire_polys]
     for label, c in zip((b"w_l", b"w_r", b"w_o", b"w_4"), w_comms):
@@ -124,7 +139,7 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript,
     compressed_t = W.lc4(tc[0], tc[1], tc[2], tc[3], zeta).v
     table_poly = jntt.intt(plan, compressed_t)
 
-    q_lookup_is_zero = mont.is_zero(dev_pk_q_lookup_evals(cs, n))
+    q_lookup_is_zero = witness.q_lookup_zero_mask
     t0_bcast = jnp.broadcast_to(compressed_t[0][None], compressed_t.shape)
     zero_col = jnp.zeros_like(compressed_t)
     f_cols = [
@@ -177,7 +192,7 @@ def prove_tpu(cs, dev_pk: DevProverKey, dev_srs: DevSRS, transcript,
     z_2_comm = commit(dev_srs, z_2_poly, cfg)
 
     pi_dense = [0] * n
-    for pos, v in cs.public_inputs.items():
+    for pos, v in witness.public_inputs.items():
         pi_dense[pos] = v
     pi_poly = jntt.intt(plan, _to_dev(pi_dense))
 
