@@ -1,0 +1,64 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh."""
+
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from zprize_tpu.params import R_MOD
+from zprize_tpu.fields.mont import FR
+from zprize_tpu.parallel import mesh as pmesh
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_four_step_ntt_sharded():
+    rng = random.Random(11)
+    fsp = pmesh.FourStepPlan(4, 4)  # n = 256, 16x16
+    m = pmesh.make_mesh(8)
+    rows = [[rng.randrange(R_MOD) for _ in range(fsp.n2)]
+            for _ in range(fsp.n1)]
+    dev = jnp.asarray(np.stack([FR.to_mont_host(r) for r in rows]))
+    out = pmesh.four_step_ntt(fsp, m, dev)
+    got = [FR.from_mont_host(np.asarray(out[i])) for i in range(fsp.n1)]
+    expect = pmesh.reference_four_step_check(fsp, rows)
+    assert got == expect
+
+
+@needs_8
+@pytest.mark.slow
+def test_sharded_msm_window():
+    from zprize_tpu.curve.g1 import affine_points_to_device, xyzz_to_affine_host
+    from zprize_tpu.ref.curve import G1_GEN, g1_mul, g1_add
+    rng = random.Random(3)
+    n = 32
+    pts = [g1_mul(G1_GEN, rng.randrange(1, 500)) for _ in range(n)]
+    digs = np.asarray([rng.randrange(16) for _ in range(n)], dtype=np.uint32)
+    x, y, inf = affine_points_to_device(pts)
+    m = pmesh.make_mesh(8)
+    out = pmesh.sharded_msm_window_partials(m, x, y, inf, jnp.asarray(digs), 4)
+    got = xyzz_to_affine_host({k: v[None] for k, v in out.items()})[0]
+    expect = None
+    for p, d in zip(pts, digs):
+        expect = g1_add(expect, g1_mul(p, int(d)))
+    assert got == expect
+
+
+@needs_8
+def test_sharded_poseidon():
+    from zprize_tpu.poseidon.constants import PoseidonConstants
+    from zprize_tpu.poseidon.ref import hash2
+    c = PoseidonConstants.generate(3)
+    rng = random.Random(4)
+    L = [rng.randrange(R_MOD) for _ in range(16)]
+    R = [rng.randrange(R_MOD) for _ in range(16)]
+    m = pmesh.make_mesh(8)
+    out = pmesh.sharded_poseidon_hashes(
+        m, jnp.asarray(FR.to_mont_host(L)), jnp.asarray(FR.to_mont_host(R)))
+    assert FR.from_mont_host(np.asarray(out)) == \
+        [hash2(c, l, r) for l, r in zip(L, R)]
