@@ -62,23 +62,26 @@ FQ = FieldCtx(Q_MOD, 24, "fq")
 
 
 # ---------------------------------------------------------------------------
-# carry machinery
+# carry machinery — limbs-LEADING internal layout (L, ...batch) so the batch
+# sits on the TPU's 128-lane minor dimension (a (batch, 16) layout pads the
+# 16-limb axis to 128 lanes: 8x wasted memory/bandwidth, and the (batch,L,L)
+# product intermediate OOMs at n=2^20).
 # ---------------------------------------------------------------------------
 
 def _shift_up(x, d, fill=0):
-    """out[..., k] = x[..., k-d] (zero/False fill)."""
-    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
-    return jnp.pad(x, pad, constant_values=fill)[..., :x.shape[-1]]
+    """out[k] = x[k-d] along axis 0 (zero/False fill)."""
+    pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)[:x.shape[0]]
 
 
 def _norm_ks(t):
-    """Exact carry normalization of column sums (cols < 2^23).
-    Input (..., K) -> output (..., K+1) 16-bit limbs (top limb is the
+    """Exact carry normalization of column sums (cols < 2^24).
+    Input (K, ...) -> output (K+1, ...) 16-bit limbs (top limb is the
     carry-out, < 2^16)."""
-    K = t.shape[-1]
-    pad = [(0, 0)] * (t.ndim - 1) + [(0, 1)]
+    K = t.shape[0]
+    pad = [(0, 1)] + [(0, 0)] * (t.ndim - 1)
     t = jnp.pad(t, pad)  # headroom column
-    # two folding rounds: cols < 2^23 -> <= 2^16
+    # two folding rounds: cols < 2^24 -> <= 2^16
     for _ in range(2):
         t = (t & MASK) + _shift_up(t >> LIMB_BITS, 1)
     # now t[k] <= 65536: single-bit generates; Kogge-Stone the +1 chains
@@ -95,110 +98,108 @@ def _norm_ks(t):
     return (r + carry_in.astype(U32)) & MASK
 
 
-def _twos_complement_sub(a, b_limbs):
-    """a - b over (..., L): returns (diff limbs, no_borrow flag).
-    no_borrow == 1 means a >= b."""
-    L = a.shape[-1]
+def _twos_complement_sub_t(a, b_limbs):
+    """a - b over (L, ...): returns (diff limbs, no_borrow flag)."""
+    L = a.shape[0]
     t = a + (MASK - b_limbs)
-    t = t.at[..., 0].add(1)
+    t = t.at[0].add(1)
     f = _norm_ks(t)
-    return f[..., :L], f[..., L]
+    return f[:L], f[L]
+
+
+def _conv_columns_t(a, b, width):
+    """Column sums of the product of limb vectors a (L, ...) x b (Lb, ...),
+    truncated to `width` columns. Shifted-accumulate over a's limbs: no
+    (L, Lb, ...) intermediate, every op is (width, batch)-shaped."""
+    L = a.shape[0]
+    Lb = b.shape[0]
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    t = jnp.zeros((width,) + bshape, dtype=U32)
+    for i in range(L):
+        if i >= width:
+            break
+        p = a[i][None] * b                    # (Lb, ...) exact u32
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        end = min(width, i + Lb)
+        t = t.at[i:end].add(lo[:end - i])
+        end2 = min(width, i + 1 + Lb)
+        if end2 > i + 1:
+            t = t.at[i + 1:end2].add(hi[:end2 - i - 1])
+    return t
 
 
 # ---------------------------------------------------------------------------
-# column products
+# public field ops (external layout unchanged: (..., L))
 # ---------------------------------------------------------------------------
 
-_DIAG_IDX_CACHE = {}
+def _tin(x):
+    """(..., L) -> (L, ...)"""
+    return jnp.moveaxis(x, -1, 0)
 
 
-def _diag_index(L, width):
-    key = (L, width)
-    if key not in _DIAG_IDX_CACHE:
-        i = np.arange(L)[:, None]
-        k = np.arange(width)[None, :]
-        idx = (k - i) % width
-        _DIAG_IDX_CACHE[key] = idx.astype(np.int32)
-    return jnp.asarray(_DIAG_IDX_CACHE[key])
+def _tout(x):
+    """(L, ...) -> (..., L)"""
+    return jnp.moveaxis(x, 0, -1)
 
 
-def _conv_columns(a, b, width):
-    """Column sums of the product of limb vectors a (..., L) x b (..., Lb),
-    truncated to `width` columns; contributions split 16/16 so each column
-    stays < 2L * 2^16. b may be a constant (L,) vector."""
-    L = a.shape[-1]
-    Lb = b.shape[-1]
-    p = a[..., :, None] * b[..., None, :]      # (..., L, Lb) exact u32
-    lo = p & MASK
-    hi = p >> LIMB_BITS
-    # gather at full width so wrapped indices always land on zero padding,
-    # then truncate the OUTPUT columns (truncation == reduction mod 2^(16w))
-    full = L + Lb + 1
-    padding = [(0, 0)] * (p.ndim - 1) + [(0, full - Lb)]
-    lo = jnp.pad(lo, padding)
-    hi = jnp.pad(hi, padding)
-    idx = jnp.broadcast_to(_diag_index(L, full), lo.shape)
-    lo_r = jnp.take_along_axis(lo, idx, axis=-1)
-    hi_r = jnp.take_along_axis(hi, idx, axis=-1)
-    # row i's entries are now at columns i+j; hi parts belong one col higher
-    t = jnp.sum(lo_r, axis=-2) + _shift_up(jnp.sum(hi_r, axis=-2), 1)
-    return t[..., :width]
-
-
-# ---------------------------------------------------------------------------
-# public field ops
-# ---------------------------------------------------------------------------
-
-def _cond_sub_mod(cfg, a, extra_carry=None):
-    mod = jnp.asarray(cfg.mod_limbs, dtype=U32)
-    diff, no_borrow = _twos_complement_sub(a, mod)
+def _cond_sub_mod_t(cfg, a, extra_carry=None):
+    mod = jnp.asarray(cfg.mod_limbs, dtype=U32).reshape(
+        (cfg.L,) + (1,) * (a.ndim - 1))
+    diff, no_borrow = _twos_complement_sub_t(a, mod)
     take = no_borrow != 0
     if extra_carry is not None:
         take = jnp.logical_or(take, extra_carry != 0)
-    return jnp.where(take[..., None], diff, a)
+    return jnp.where(take[None], diff, a)
 
 
 def add(cfg, a, b):
-    f = _norm_ks(a + b)
-    return _cond_sub_mod(cfg, f[..., :cfg.L], extra_carry=f[..., cfg.L])
+    t = _tin(a) + _tin(b)
+    f = _norm_ks(t)
+    return _tout(_cond_sub_mod_t(cfg, f[:cfg.L], extra_carry=f[cfg.L]))
 
 
 def sub(cfg, a, b):
-    d, no_borrow = _twos_complement_sub(a, b)
-    mod = jnp.asarray(cfg.mod_limbs, dtype=U32)
-    d2 = _norm_ks(d + mod)[..., :cfg.L]
-    return jnp.where((no_borrow == 0)[..., None], d2, d)
+    at, bt = _tin(a), _tin(b)
+    d, no_borrow = _twos_complement_sub_t(at, bt)
+    mod = jnp.asarray(cfg.mod_limbs, dtype=U32).reshape(
+        (cfg.L,) + (1,) * (d.ndim - 1))
+    d2 = _norm_ks(d + mod)[:cfg.L]
+    return _tout(jnp.where((no_borrow == 0)[None], d2, d))
 
 
 def neg(cfg, a):
-    mod = jnp.broadcast_to(jnp.asarray(cfg.mod_limbs, dtype=U32), a.shape)
-    d, _ = _twos_complement_sub(mod, a)
-    is_z = jnp.all(a == 0, axis=-1, keepdims=True)
-    return jnp.where(is_z, a, d)
+    at = _tin(a)
+    mod = jnp.broadcast_to(jnp.asarray(cfg.mod_limbs, dtype=U32).reshape(
+        (cfg.L,) + (1,) * (at.ndim - 1)), at.shape)
+    d, _ = _twos_complement_sub_t(mod, at)
+    is_z = jnp.all(at == 0, axis=0, keepdims=True)
+    return _tout(jnp.where(is_z, at, d))
 
 
 def mont_mul(cfg, a, b):
     """REDC: (a*b + m*N)/R with m = (a*b mod R)*N' mod R."""
     L = cfg.L
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, shape + (L,))
-    b = jnp.broadcast_to(b, shape + (L,))
-    nprime = jnp.asarray(cfg.nprime_limbs, dtype=U32)
-    nmod = jnp.asarray(cfg.mod_limbs, dtype=U32)
+    at = _tin(jnp.broadcast_to(a, shape + (L,)))
+    bt = _tin(jnp.broadcast_to(b, shape + (L,)))
+    cshape = (1,) * len(shape)
+    nprime = jnp.asarray(cfg.nprime_limbs, dtype=U32).reshape((L,) + cshape)
+    nmod = jnp.asarray(cfg.mod_limbs, dtype=U32).reshape((L,) + cshape)
 
-    T = _conv_columns(a, b, 2 * L + 1)              # cols < 2^22
-    Tlow = T[..., :L]
+    T = _conv_columns_t(at, bt, 2 * L + 1)            # cols < 2^22
+    Tlow = T[:L]
     Tl = Tlow & MASK
-    Th = Tlow >> LIMB_BITS                          # < 2^6
-    m_cols = _conv_columns(Tl, nprime, L) + \
-        _shift_up(_conv_columns(Th, nprime, L), 1)  # cols < 2^23
-    m = _norm_ks(m_cols)[..., :L]                   # mod R
-    U = _conv_columns(m, nmod, 2 * L + 1)
-    X = T + U                                       # cols < 2^23
-    Xn = _norm_ks(X)                                # (..., 2L+2) exact
-    r = Xn[..., L:2 * L]
-    extra = Xn[..., 2 * L]                          # 0 or 1 (result < 2N)
-    return _cond_sub_mod(cfg, r, extra_carry=extra)
+    Th = Tlow >> LIMB_BITS                            # < 2^6
+    m_cols = _conv_columns_t(Tl, nprime, L) + \
+        _shift_up(_conv_columns_t(Th, nprime, L), 1)  # cols < 2^23
+    m = _norm_ks(m_cols)[:L]                          # mod R
+    Uc = _conv_columns_t(m, nmod, 2 * L + 1)
+    X = T + Uc                                        # cols < 2^23
+    Xn = _norm_ks(X)                                  # (2L+2, ...) exact
+    r = Xn[L:2 * L]
+    extra = Xn[2 * L]                                 # 0 or 1 (result < 2N)
+    return _tout(_cond_sub_mod_t(cfg, r, extra_carry=extra))
 
 
 def mont_sqr(cfg, a):
