@@ -94,3 +94,23 @@ def test_divide_linear():
     q, r = jax.jit(lambda c, z: jpoly.divide_linear(FR, c, z))(c, zm)
     assert FR.from_mont_host(np.asarray(q)) == poly_divide_linear(xs, z)
     assert FR.from_mont_host(np.asarray(r[None]))[0] == poly_eval(xs, z)
+
+
+def test_four_step_large_ntt():
+    """Exercises the four-step path (log_n >= FOUR_STEP_MIN_LOG)."""
+    log_n = jntt.FOUR_STEP_MIN_LOG
+    n = 1 << log_n
+    xs = _rand(n, 9)
+    d = Domain(n)
+    plan = jntt.get_plan(log_n)
+    a = jnp.asarray(FR.to_mont_host(xs))
+    out = FR.from_mont_host(np.asarray(jntt.ntt(plan, a)))
+    assert out == d.fft(xs)
+    back = FR.from_mont_host(np.asarray(jntt.intt(plan,
+                                                  jnp.asarray(FR.to_mont_host(out)))))
+    assert back == xs
+    cs = FR.from_mont_host(np.asarray(jntt.coset_ntt(plan, a)))
+    assert cs == d.coset_fft(xs)
+    cb = FR.from_mont_host(np.asarray(jntt.coset_intt(
+        plan, jnp.asarray(FR.to_mont_host(cs)))))
+    assert cb == xs

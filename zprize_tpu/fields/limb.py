@@ -20,14 +20,11 @@ def int_to_limbs(x: int, L: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs, L: int) -> np.ndarray:
-    """Vectorized int-list -> (n, L) uint32."""
+    """int-list -> (n, L) uint32 via LE byte packing (no per-limb Python)."""
     n = len(xs)
-    out = np.zeros((n, L), dtype=np.uint32)
-    for i in range(L):
-        shift = LIMB_BITS * i
-        out[:, i] = np.fromiter(((x >> shift) & LIMB_MASK for x in xs),
-                                dtype=np.uint32, count=n)
-    return out
+    nbytes = 2 * L
+    buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)
+    return np.frombuffer(buf, dtype="<u2").reshape(n, L).astype(np.uint32)
 
 
 def limbs_to_int(limbs) -> int:
@@ -36,12 +33,11 @@ def limbs_to_int(limbs) -> int:
 
 
 def limbs_to_ints(arr) -> list:
+    """(n, L) uint32 16-bit limbs -> list of ints via LE byte packing."""
     arr = np.asarray(arr)
     assert arr.ndim == 2
-    out = [0] * arr.shape[0]
-    for i in range(arr.shape[1]):
-        shift = LIMB_BITS * i
-        col = arr[:, i].astype(object)
-        for k in range(arr.shape[0]):
-            out[k] += int(col[k]) << shift
-    return out
+    n, L = arr.shape
+    buf = arr.astype("<u2").tobytes()
+    w = 2 * L
+    return [int.from_bytes(buf[i * w:(i + 1) * w], "little")
+            for i in range(n)]

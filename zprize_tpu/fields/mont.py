@@ -17,6 +17,8 @@ Invariants: limbs < 2^16 in uint32 lanes; values in Montgomery form unless
 noted; all public ops return fully reduced values (< p).
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -222,11 +224,13 @@ def mont_pow_fixed(cfg, a, exp_bits_le):
     return acc
 
 
+@partial(jax.jit, static_argnums=(0,))
 def inv(cfg, a):
     """Fermat inversion a^(p-2). Zero maps to zero."""
     return mont_pow_fixed(cfg, a, cfg.inv_exp_bits)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def batch_inv(cfg, a):
     """Montgomery batched inversion along axis 0 of (n, L)."""
     one = jnp.asarray(cfg.one_mont, dtype=U32)
@@ -249,10 +253,12 @@ def batch_inv(cfg, a):
     return jnp.where(is_z, jnp.zeros_like(a), out)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def to_mont(cfg, a_raw):
     return mont_mul(cfg, a_raw, jnp.asarray(cfg.r2_limbs, dtype=U32))
 
 
+@partial(jax.jit, static_argnums=(0,))
 def from_mont(cfg, a):
     one_raw = jnp.zeros(cfg.L, dtype=U32).at[0].set(1)
     return mont_mul(cfg, a, one_raw)

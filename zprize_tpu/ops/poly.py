@@ -6,6 +6,8 @@ array programs (`jax.lax.associative_scan` replaces the hand-rolled log-step
 CUDA scans — SURVEY.md §5 "long-context" note 4).
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +16,7 @@ from ..fields import mont
 from ..fields.mont import FR, U32
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def powers(cfg, x, n):
     """[1, x, x^2, ..., x^(n-1)] in Montgomery form; x is (L,) mont.
     Log-doubling: concat(arr, arr * x^len)."""
@@ -27,6 +30,7 @@ def powers(cfg, x, n):
     return arr[:n]
 
 
+@partial(jax.jit, static_argnums=(0,))
 def sum_reduce(cfg, a):
     """Modular sum along axis 0 of (n, L) via a log-depth add tree."""
     n = a.shape[0]
@@ -40,6 +44,7 @@ def sum_reduce(cfg, a):
     return a[0]
 
 
+@partial(jax.jit, static_argnums=(0,))
 def poly_eval(cfg, coeffs, pows_of_x):
     """p(x) given a precomputed powers table (reference `evaluate`:
     powers kernel + dot reduce, function.cu)."""
@@ -47,6 +52,7 @@ def poly_eval(cfg, coeffs, pows_of_x):
     return sum_reduce(cfg, prods)
 
 
+@partial(jax.jit, static_argnums=(0, 2))
 def prefix_product(cfg, a, shift_one=False):
     """Inclusive prefix product along axis 0. With shift_one=True returns
     [1, a0, a0*a1, ...] of the same length (grand-product z(X) shape,
@@ -59,6 +65,7 @@ def prefix_product(cfg, a, shift_one=False):
     return jnp.concatenate([one, scanned[:-1]], axis=0)
 
 
+@partial(jax.jit, static_argnums=(0,))
 def divide_linear(cfg, coeffs, z):
     """Synthetic division by (X - z): returns (quotient (n-1, L), remainder
     (L,)). Log-depth via associative scan over affine maps — the TPU

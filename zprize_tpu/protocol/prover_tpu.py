@@ -37,7 +37,19 @@ SELECTOR_NAMES = [
 
 
 def _to_dev(ints):
-    return jnp.asarray(FR.to_mont_host(ints))
+    """ints -> device Montgomery limbs; large lists convert on device
+    (host Python modmuls are the reference's witness-synthesis bottleneck)."""
+    if len(ints) <= 4096:
+        return jnp.asarray(FR.to_mont_host(ints))
+    from ..fields.limb import ints_to_limbs
+    raw = jnp.asarray(ints_to_limbs([x % M for x in ints], FR.L))
+    return mont.to_mont(FR, raw)
+
+
+def _from_dev(arr):
+    """device Montgomery limbs -> list of ints (demontgomerize on device)."""
+    from ..fields.limb import limbs_to_ints
+    return limbs_to_ints(np.asarray(mont.from_mont(FR, arr)))
 
 
 class ProverConfig:
@@ -154,12 +166,24 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     f_comm = commit(dev_srs, f_poly, cfg)
     t.append_g1(b"f", f_comm)
 
-    # combine_split on host (order-sensitive bucketing; O(n))
-    ct_ints = FR.from_mont_host(np.asarray(compressed_t))
-    cf_ints = FR.from_mont_host(np.asarray(compressed_f))
-    h_1_ints, h_2_ints = combine_split(ct_ints, cf_ints)
-    h_1 = _to_dev(h_1_ints)
-    h_2 = _to_dev(h_2_ints)
+    # combine_split on host (order-sensitive bucketing; O(n)) — native C
+    # hash-map over raw 32-byte rows, no Python bigints in the loop
+    raw_t = np.asarray(mont.from_mont(FR, compressed_t))
+    raw_f = np.asarray(mont.from_mont(FR, compressed_f))
+    try:
+        from ..native import combine_split_bytes
+        h1b, h2b = combine_split_bytes(
+            raw_t.astype("<u2").tobytes(), raw_f.astype("<u2").tobytes(), n)
+        h1_raw = np.frombuffer(h1b, "<u2").reshape(n, FR.L).astype(np.uint32)
+        h2_raw = np.frombuffer(h2b, "<u2").reshape(n, FR.L).astype(np.uint32)
+        h_1 = mont.to_mont(FR, jnp.asarray(h1_raw))
+        h_2 = mont.to_mont(FR, jnp.asarray(h2_raw))
+    except Exception:  # toolchain unavailable -> Python oracle path
+        from ..fields.limb import limbs_to_ints
+        h_1_ints, h_2_ints = combine_split(limbs_to_ints(raw_t),
+                                           limbs_to_ints(raw_f))
+        h_1 = _to_dev(h_1_ints)
+        h_2 = _to_dev(h_2_ints)
     h_1_poly = jntt.intt(plan, h_1)
     h_2_poly = jntt.intt(plan, h_2)
     h_1_comm = commit(dev_srs, h_1_poly, cfg)
