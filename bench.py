@@ -68,6 +68,17 @@ def main():
                    for _ in range(lay.m_leaves)]
     leaves_dev = jnp.asarray(FR.to_mont_host(leaves_ints))
 
+    # warm-up pass: populates the (persistent) compilation cache, exactly
+    # like the reference excludes pk-clone/setup from its scored time
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        t0 = time.time()
+        wires, root_val, _ = lay.witness(leaves_dev)
+        w = tp.ProverWitness(wires, {lay.root_gate_pos: (-root_val) % R_MOD},
+                             jnp.ones((n,), dtype=bool))
+        tp.prove_tpu(w, dev_pk, dev_srs, tr.clone(), cfg)
+        print(f"# warmup (incl compiles): {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
     # ---- the timed section: witness synthesis + gen_proof (the
     # reference's "gadget" + "gen_proof" rows) ----
     t0 = time.time()

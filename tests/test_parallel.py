@@ -31,6 +31,9 @@ def test_four_step_ntt_sharded():
 
 
 @needs_8
+@pytest.mark.skipif("RUN_HEAVY_PARALLEL" not in __import__("os").environ,
+                    reason="shard_map msm_window compiles for many minutes "
+                           "on CPU; set RUN_HEAVY_PARALLEL=1 to run")
 @pytest.mark.slow
 def test_sharded_msm_window():
     from zprize_tpu.curve.g1 import affine_points_to_device, xyzz_to_affine_host
@@ -62,3 +65,19 @@ def test_sharded_poseidon():
         m, jnp.asarray(FR.to_mont_host(L)), jnp.asarray(FR.to_mont_host(R)))
     assert FR.from_mont_host(np.asarray(out)) == \
         [hash2(c, l, r) for l, r in zip(L, R)]
+
+
+@needs_8
+def test_sharded_point_sum():
+    from zprize_tpu.curve.g1 import affine_points_to_device, xyzz_to_affine_host
+    from zprize_tpu.ref.curve import G1_GEN, g1_mul, g1_add
+    rng = random.Random(6)
+    pts = [g1_mul(G1_GEN, rng.randrange(1, 500)) for _ in range(16)]
+    x, y, inf = affine_points_to_device(pts)
+    m = pmesh.make_mesh(8)
+    out = pmesh.sharded_point_sum(m, x, y, inf)
+    got = xyzz_to_affine_host({k: v[None] for k, v in out.items()})[0]
+    expect = None
+    for p in pts:
+        expect = g1_add(expect, p)
+    assert got == expect

@@ -127,8 +127,35 @@ def sharded_msm_window_partials(mesh, x_mont, y_mont, inf_mask, digits_w,
 
     f = jax.shard_map(step, mesh=mesh,
                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                      out_specs=P())
+                      out_specs=P(), check_vma=False)
     return f(x_mont, y_mont, inf_mask, digits_w)
+
+
+def sharded_point_sum(mesh, x_mont, y_mont, inf_mask, axis="shard"):
+    """Light TP reduction used by the dryrun: per-device xyzz sum of its
+    point shard (lax.scan), then all_gather + fold. One scan body keeps the
+    compiled graph small."""
+
+    def step(xs, ys, infs):
+        pts = g1.xyzz_from_affine(xs, ys, infs)
+
+        def body(carry, p):
+            return g1.xyzz_add(carry, p), None
+
+        zero = {k: jnp.zeros_like(v[0]) for k, v in pts.items()}
+        total, _ = jax.lax.scan(body, zero, pts)
+        gathered = {k: jax.lax.all_gather(v, axis) for k, v in total.items()}
+
+        def body2(carry, p):
+            return g1.xyzz_add(carry, p), None
+
+        total_all, _ = jax.lax.scan(body2, zero, gathered)
+        return total_all
+
+    f = jax.shard_map(step, mesh=mesh,
+                      in_specs=(P(axis), P(axis), P(axis)),
+                      out_specs=P(), check_vma=False)
+    return f(x_mont, y_mont, inf_mask)
 
 
 # ---------------------------------------------------------------------------
