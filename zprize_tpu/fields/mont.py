@@ -155,13 +155,21 @@ def _cond_sub_mod_t(cfg, a, extra_carry=None):
     return jnp.where(take[None], diff, a)
 
 
+def _bcast2(cfg, a, b):
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    return (jnp.broadcast_to(a, shape + (cfg.L,)),
+            jnp.broadcast_to(b, shape + (cfg.L,)))
+
+
 def add(cfg, a, b):
+    a, b = _bcast2(cfg, a, b)
     t = _tin(a) + _tin(b)
     f = _norm_ks(t)
     return _tout(_cond_sub_mod_t(cfg, f[:cfg.L], extra_carry=f[cfg.L]))
 
 
 def sub(cfg, a, b):
+    a, b = _bcast2(cfg, a, b)
     at, bt = _tin(a), _tin(b)
     d, no_borrow = _twos_complement_sub_t(at, bt)
     mod = jnp.asarray(cfg.mod_limbs, dtype=U32).reshape(
