@@ -29,8 +29,8 @@ BASELINE_LOG_N = 22             # proving domain at height 15
 
 
 def main():
-    height = int(os.environ.get("BENCH_HEIGHT", "8"))
-    window_bits = int(os.environ.get("BENCH_WINDOW_BITS", "16"))
+    height = int(os.environ.get("BENCH_HEIGHT", "6"))
+    window_bits = int(os.environ.get("BENCH_WINDOW_BITS", "8"))
     verify_proof = os.environ.get("BENCH_VERIFY", "1") == "1"
 
     from zprize_tpu.params import R_MOD

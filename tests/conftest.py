@@ -43,8 +43,6 @@ def srs_1k():
     from zprize_tpu.ref.kzg import SRS as S
     return S(powers, h, beta_h)
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: the persistent compilation cache is intentionally NOT enabled for
+# CPU tests: jax 0.9.0's cache serializer segfaults on some CPU executables
+# (observed in put_executable_and_time). TPU runs (bench.py) use .jax_cache.

@@ -9,6 +9,10 @@ and the plookup combine_split bucketing (O(n) dict pass, like the reference's
 CPU-side pieces; to be devicified later).
 """
 
+import os
+import sys
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -124,9 +128,26 @@ class ProverWitness:
         return cls(wires_dev, dict(cs.public_inputs), mask)
 
 
+def _phase_timer():
+    if os.environ.get("ZPRIZE_PROFILE") != "1":
+        return lambda label: None
+    state = {"t": time.time()}
+
+    def mark(label):
+        # a fresh op enqueued now completes only after everything queued
+        # before it on the device stream
+        jax.block_until_ready(jnp.zeros((8,), dtype=U32) + 1)
+        now = time.time()
+        print(f"#   phase {label}: {now - state['t']:.2f}s", file=sys.stderr,
+              flush=True)
+        state["t"] = now
+    return mark
+
+
 def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
               dev_srs: DevSRS, transcript, cfg: ProverConfig = None):
     cfg = cfg or ProverConfig()
+    mark = _phase_timer()
     n = dev_pk.n
     log_n = dev_pk.log_n
     plan = jntt.get_plan(log_n)
@@ -143,6 +164,7 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
         t.append_g1(label, c)
 
     # ------------------------------------------------------------- round 2
+    mark("round1 (wires intt + 4 commits)")
     zeta_i = t.challenge_scalar(b"zeta")
     t.append_fr(b"zeta", zeta_i)
     zeta = FV.const(zeta_i)
@@ -192,6 +214,7 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     t.append_g1(b"h2", h_2_comm)
 
     # ------------------------------------------------------------- round 3
+    mark("round2 (lookup compress + combine_split + 3 commits)")
     beta_i = t.challenge_scalar(b"beta")
     t.append_fr(b"beta", beta_i)
     gamma_i = t.challenge_scalar(b"gamma")
@@ -221,6 +244,7 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     pi_poly = jntt.intt(plan, _to_dev(pi_dense))
 
     # ------------------------------------------------------------- round 4
+    mark("round3 (z/z2 grand products + 2 commits)")
     alpha_i = t.challenge_scalar(b"alpha")
     t.append_fr(b"alpha", alpha_i)
     range_i = t.challenge_scalar(b"range separation challenge")
@@ -246,6 +270,7 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
         t.append_g1(b"t_" + str(i + 1).encode(), t_comms[i])
 
     # ------------------------------------------------------------- round 5
+    mark("round4 (quotient + 8 commits)")
     z_ch_i = t.challenge_scalar(b"z")
     t.append_fr(b"z", z_ch_i)
 
@@ -274,6 +299,7 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
         t.append_fr(label.encode(), value)
 
     # ------------------------------------------------------------ openings
+    mark("round5 (linearisation + evals)")
     aw_i = t.challenge_scalar(b"aggregate_witness")
     aw_polys = [lin_poly, dev_pk.sigma_poly[0], dev_pk.sigma_poly[1],
                 dev_pk.sigma_poly[2], f_poly, h_2_poly, table_poly,
@@ -287,6 +313,7 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
                  h_1_poly, z_2_poly, table_poly]
     saw_opening = open_aggregate_device(dev_srs, saw_polys, shifted, saw_i, cfg)
 
+    mark("openings (2 aggregates + 2 commits)")
     return Proof(
         a_comm=w_comms[0], b_comm=w_comms[1], c_comm=w_comms[2],
         d_comm=w_comms[3], z_comm=z_comm, f_comm=f_comm, h_1_comm=h_1_comm,
