@@ -9,7 +9,7 @@ $PY -m pytest tests/test_field.py tests/test_transcript.py \
     tests/test_gates_ext.py -q "$@"
 $PY -m pytest tests/test_mont_jax.py tests/test_ops_jax.py \
     tests/test_msm_jax.py -q "$@"
-$PY -m pytest tests/test_e2e_ref.py -q "$@"
+$PY -m pytest tests/test_e2e_ref.py tests/test_serde.py -q "$@"
 $PY -m pytest tests/test_merkle_layout.py -q "$@"
 $PY -m pytest tests/test_prover_tpu.py -q "$@"
 $PY -m pytest tests/test_parallel.py -q "$@"
