@@ -6,7 +6,7 @@ set -e
 PY=${PY:-/opt/venv/bin/python}
 $PY -m pytest tests/test_field.py tests/test_transcript.py \
     tests/test_curve_pairing.py tests/test_poseidon.py tests/test_merkle.py \
-    tests/test_gates_ext.py -q "$@"
+    tests/test_gates_ext.py tests/test_ipa.py -q "$@"
 $PY -m pytest tests/test_mont_jax.py tests/test_ops_jax.py \
     tests/test_msm_jax.py -q "$@"
 $PY -m pytest tests/test_e2e_ref.py tests/test_serde.py -q "$@"
