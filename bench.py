@@ -109,6 +109,12 @@ def main():
                               "value": -1, "unit": "s", "vs_baseline": 0}))
             sys.exit(1)
 
+    # reference-style summary table (zprize_bench.rs four-column shape)
+    print("# | stage            | seconds |", file=sys.stderr)
+    print(f"# | gadget (witness) | {witness_s:7.2f} |", file=sys.stderr)
+    print(f"# | gen_proof        | {prove_s:7.2f} |", file=sys.stderr)
+    print(f"# | total            | {gen_proof_s:7.2f} |", file=sys.stderr)
+
     # scale the reference's height-15 number by circuit size for smaller runs
     scaled_baseline = BASELINE_GEN_PROOF_S * n / (1 << BASELINE_LOG_N)
     print(json.dumps({
