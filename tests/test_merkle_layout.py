@@ -26,6 +26,7 @@ H = 3
 
 
 def _setup(h=H, seed=7):
+    # (param, leaves, tree)
     rng = random.Random(seed)
     param = PoseidonConstants.generate(3)
     leaves = [rng.randrange(R_MOD) for _ in range(1 << (h - 1))]
@@ -103,3 +104,35 @@ def test_layout_merkle_proof_e2e(srs_1k):
     vtr = TranscriptProtocol(b"Merkle tree")
     rp.seed_transcript(vtr, vk)
     assert verify(vk, srs_1k, proof, witness.public_inputs, vtr)
+
+
+@pytest.mark.slow
+def test_layout_merkle_height4_e2e():
+    """BASELINE config ladder item: height-4 Merkle end-to-end proof
+    (layout path, host MSM), verified in-repo."""
+    from tests.conftest import cached
+    from zprize_tpu.ref.kzg import SRS
+
+    def build():
+        s = SRS.setup(1 << 11, tau=987654321)
+        return (s.powers_of_g, s.h, s.beta_h)
+
+    powers, h, beta_h = cached("srs_2k", build)
+    srs = SRS(powers, h, beta_h)
+
+    param, leaves, tree = _setup(h=4, seed=11)
+    lay = MerkleLayout(4)
+    assert lay.n == 2048
+    dev_srs = tp.DevSRS(srs, device=False)
+    cfg = tp.ProverConfig(msm_backend="host")
+    tr = TranscriptProtocol(b"Merkle tree")
+    dev_pk, vk = preprocess_layout(lay, dev_srs, tr, cfg)
+    wires, root_val, _ = lay.witness(jnp.asarray(FR.to_mont_host(leaves)))
+    assert root_val == tree.root()
+    witness = tp.ProverWitness(
+        wires, {lay.root_gate_pos: (-root_val) % R_MOD},
+        jnp.ones((lay.n,), dtype=bool))
+    proof = tp.prove_tpu(witness, dev_pk, dev_srs, tr, cfg)
+    vtr = TranscriptProtocol(b"Merkle tree")
+    rp.seed_transcript(vtr, vk)
+    assert verify(vk, srs, proof, witness.public_inputs, vtr)
