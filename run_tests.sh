@@ -11,6 +11,7 @@ $PY -m pytest tests/test_mont_jax.py tests/test_ops_jax.py \
     tests/test_msm_jax.py -q "$@"
 $PY -m pytest tests/test_e2e_ref.py tests/test_serde.py -q "$@"
 $PY -m pytest tests/test_merkle_layout.py tests/test_keys_io.py -q "$@"
+$PY -m pytest tests/test_fuzz_differential.py -q "$@"
 $PY -m pytest tests/test_prover_tpu.py -q "$@"
 $PY -m pytest tests/test_parallel.py -q "$@"
 echo "ALL BATCHES PASSED"
