@@ -81,3 +81,19 @@ def test_sharded_point_sum():
     for p in pts:
         expect = g1_add(expect, p)
     assert got == expect
+
+
+@needs_8
+def test_four_step_intt_natural_matches_single_device():
+    from zprize_tpu.ops import ntt as jntt
+    rng = random.Random(12)
+    fsp = pmesh.FourStepPlan(4, 4)
+    n = 256
+    xs = [rng.randrange(R_MOD) for _ in range(n)]
+    m = pmesh.make_mesh(8)
+    evals = jnp.asarray(FR.to_mont_host(xs))
+    coeffs_sharded = pmesh.four_step_intt_natural(fsp, m, evals)
+    plan = jntt.get_plan(8)
+    coeffs_single = jntt.intt(plan, evals)
+    assert FR.from_mont_host(np.asarray(coeffs_sharded)) == \
+        FR.from_mont_host(np.asarray(coeffs_single))

@@ -49,17 +49,22 @@ class FourStepPlan:
         self.n1, self.n2 = 1 << log_n1, 1 << log_n2
         n = self.n1 * self.n2
         omega = root_of_unity(log_n1 + log_n2)
-        # twiddle table w^(i1*k2): (n1, n2, L) Montgomery
-        rows = []
-        for i1 in range(self.n1):
-            w = pow(omega, i1, M)
-            acc = 1
-            row = []
-            for _ in range(self.n2):
-                row.append(acc)
-                acc = acc * w % M
-            rows.append(FR.to_mont_host(row))
-        self.twiddle = jnp.asarray(np.stack(rows))
+        omega_inv = pow(omega, -1, M)
+
+        def table(w):
+            rows = []
+            for i1 in range(self.n1):
+                wi = pow(w, i1, M)
+                acc = 1
+                row = []
+                for _ in range(self.n2):
+                    row.append(acc)
+                    acc = acc * wi % M
+                rows.append(FR.to_mont_host(row))
+            return jnp.asarray(np.stack(rows))
+
+        self.twiddle = table(omega)          # w^(i1*k2): (n1, n2, L)
+        self.twiddle_inv = table(omega_inv)
         self.plan1 = jntt.get_plan(log_n1)
         self.plan2 = jntt.get_plan(log_n2)
 
@@ -89,6 +94,38 @@ def four_step_ntt(fsp: FourStepPlan, mesh: Mesh, x_rows, axis="shard"):
                       in_specs=(P(axis), P(axis)),
                       out_specs=P(None, axis))
     return f(x_rows, tw)
+
+
+def four_step_intt_natural(fsp: FourStepPlan, mesh: Mesh, evals, axis="shard"):
+    """Sharded inverse transform with NATURAL-order input and output:
+    evals (n, L) natural -> coeffs (n, L) natural (output flat index equals
+    the coefficient index, so downstream MSMs consume it directly).
+
+    Internally: reshape to the (i1, i2) row layout, run the four-step with
+    inverse twiddles and inverse sub-NTTs (the two 1/n_i factors compose to
+    the 1/n scale), transpose back."""
+    n = fsp.n1 * fsp.n2
+    L = evals.shape[-1]
+    rows = jnp.swapaxes(evals.reshape(fsp.n2, fsp.n1, L), 0, 1)
+
+    def _sub_intt(plan, v):
+        out = jntt._core_jit(v, plan.bitrev, plan.inv_pows)
+        return mont.mont_mul(FR, out, plan.n_inv)
+
+    def step(local_rows, local_tw):
+        b = jax.vmap(lambda v: _sub_intt(fsp.plan2, v))(local_rows)
+        c = mont.mont_mul(FR, b, local_tw)
+        t = jax.lax.all_to_all(c, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+        t = jnp.swapaxes(t, 0, 1)
+        r = jax.vmap(lambda v: _sub_intt(fsp.plan1, v))(t)
+        return jnp.swapaxes(r, 0, 1)
+
+    f = jax.shard_map(step, mesh=mesh,
+                      in_specs=(P(axis), P(axis)),
+                      out_specs=P(None, axis))
+    out_rows = f(rows, fsp.twiddle_inv)          # R[k1, k2] = X[k2 + n2 k1]
+    return out_rows.reshape(n, L)
 
 
 def reference_four_step_check(fsp: FourStepPlan, coeffs):
