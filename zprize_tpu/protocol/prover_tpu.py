@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..params import R_MOD, K1, K2, K3, FR_GENERATOR
+from ..params import R_MOD, K1, K2, K3
 from ..fields import mont
 from ..fields.mont import FR, U32
 from ..fields.frvec import FV
@@ -28,8 +28,7 @@ from ..ops import msm as jmsm
 from ..curve import g1 as jg1
 from ..protocol.proof import Proof, Evaluations
 from ..protocol import widgets_jax as W
-from ..ref.prover import combine_split, split_tx_poly
-from ..ref.domain import Domain
+from ..ref.prover import combine_split
 
 M = R_MOD
 
