@@ -81,3 +81,35 @@ def test_tpu_prover_lookup_circuit_bit_exact(srs_1k):
     vtr = TranscriptProtocol(b"lk")
     rp.seed_transcript(vtr, vk)
     assert verify(vk, srs_1k, proof_tpu, cs.public_inputs, vtr)
+
+
+@pytest.mark.slow
+def test_prove_many_batch(srs_1k):
+    """prove_many: two different witnesses for the same circuit shape, both
+    proofs verify."""
+    from zprize_tpu.protocol.batch import prove_many
+    from zprize_tpu.ref.verifier import verify as rverify
+
+    def build(x, y):
+        cs = StandardComposer()
+        a = cs.add_input(x)
+        b = cs.add_input(y)
+        p = cs.mul(a, b)
+        cs.arithmetic_gate(q_l=1, q_r=0, w_l=p, w_r=cs.zero_var, q_o=0,
+                           w_o=cs.zero_var, pi=(-(x * y)) % R_MOD)
+        return cs
+
+    cs1 = build(6, 7)
+    tr = TranscriptProtocol(b"batch")
+    pk, vk = rp.preprocess(cs1, srs_1k, tr)
+    dev_pk = tp.DevProverKey.from_ref(pk)
+    dev_srs = tp.DevSRS(srs_1k, device=False)
+    cfg = tp.ProverConfig(msm_backend="host")
+
+    w1 = tp.ProverWitness.from_composer(cs1, pk.n)
+    proofs, wall, pps = prove_many([w1, w1], dev_pk, dev_srs, tr, cfg)
+    assert len(proofs) == 2
+    for proof, w in zip(proofs, (w1, w1)):
+        vtr = TranscriptProtocol(b"batch")
+        rp.seed_transcript(vtr, vk)
+        assert rverify(vk, srs_1k, proof, w.public_inputs, vtr)
