@@ -238,26 +238,42 @@ def inv(cfg, a):
     return mont_pow_fixed(cfg, a, cfg.inv_exp_bits)
 
 
+def _hs_prefix_product(cfg, a):
+    """Hillis-Steele inclusive prefix product along axis 0: log2(n) wide
+    vector steps (each a full-width mont_mul) — latency-optimal on the
+    tunneled runtime, where an n-step lax.scan costs ~10 ms per sequential
+    step (h10 round3 measured 2906 s before this change)."""
+    n = a.shape[0]
+    one = jnp.asarray(cfg.one_mont, dtype=U32)
+    d = 1
+    while d < n:
+        ones_pad = jnp.broadcast_to(one[None], (d, cfg.L))
+        shifted = jnp.concatenate([ones_pad, a[:-d]], axis=0)
+        a = mont_mul(cfg, a, shifted)
+        d <<= 1
+    return a
+
+
 @partial(jax.jit, static_argnums=(0,))
 def batch_inv(cfg, a):
-    """Montgomery batched inversion along axis 0 of (n, L)."""
+    """Montgomery batched inversion along axis 0 of (n, L): one Fermat chain
+    for the whole batch + two log-depth prefix products."""
     one = jnp.asarray(cfg.one_mont, dtype=U32)
     is_z = jnp.all(a == 0, axis=-1, keepdims=True)
     safe = jnp.where(is_z, one, a)
 
-    def body(carry, x):
-        return mont_mul(cfg, carry, x), carry  # exclusive prefix
-
-    total, prefix = jax.lax.scan(body, one, safe)
-    total_inv = inv(cfg, total[None])[0]
-
-    def body2(carry, xs):
-        x, pre = xs
-        out = mont_mul(cfg, carry, pre)
-        carry = mont_mul(cfg, carry, x)
-        return carry, out
-
-    _, out = jax.lax.scan(body2, total_inv, (safe, prefix), reverse=True)
+    incl = _hs_prefix_product(cfg, safe)                 # P[i] = x0..xi
+    # exclusive prefix: P_excl[i] = x0..x_{i-1}
+    excl = jnp.concatenate([jnp.broadcast_to(one[None], (1, cfg.L)),
+                            incl[:-1]], axis=0)
+    # suffix products via reversed prefix: S[i] = x_i..x_{n-1}
+    suff = _hs_prefix_product(cfg, safe[::-1])[::-1]
+    total_inv = inv(cfg, incl[-1][None])[0]
+    # inv(x_i) = P_excl[i] * S[i+1] * inv(total);  S[i+1] = S_shifted
+    s_next = jnp.concatenate([suff[1:],
+                              jnp.broadcast_to(one[None], (1, cfg.L))],
+                             axis=0)
+    out = mont_mul(cfg, mont_mul(cfg, excl, s_next), total_inv[None])
     return jnp.where(is_z, jnp.zeros_like(a), out)
 
 
