@@ -39,13 +39,14 @@ def test_inv_and_batch_inv(cfg, MOD):
     rng = random.Random(2)
     xs = [rng.randrange(1, MOD) for _ in range(8)]
     a = jnp.asarray(cfg.to_mont_host(xs))
-    iv = cfg.from_mont_host(np.asarray(jax.jit(lambda a: mont.inv(cfg, a))(a)))
+    # inv/batch_inv are NOT jit-safe by design (host round-trip for the
+    # single total-product inversion) — call eagerly
+    iv = cfg.from_mont_host(np.asarray(mont.inv(cfg, a)))
     assert iv == [pow(x, -1, MOD) for x in xs]
     xs2 = list(xs)
     xs2[3] = 0
     a2 = jnp.asarray(cfg.to_mont_host(xs2))
-    bi = cfg.from_mont_host(
-        np.asarray(jax.jit(lambda a: mont.batch_inv(cfg, a))(a2)))
+    bi = cfg.from_mont_host(np.asarray(mont.batch_inv(cfg, a2)))
     assert bi == [pow(x, -1, MOD) if x else 0 for x in xs2]
 
 

@@ -64,13 +64,13 @@ def test_coset_ntt(plan):
 def test_powers_and_eval(plan):
     xs = _rand(64, 3)
     x = 987654321
-    xm = jnp.asarray(FR.to_mont_host([x]))[0]
+    xm = jnp.asarray(FR.to_mont_host([x]))[:, 0]
     pows = jax.jit(lambda x: jpoly.powers(FR, x, 64))(xm)
     assert FR.from_mont_host(np.asarray(pows)) == \
         [pow(x, i, R_MOD) for i in range(64)]
     c = jnp.asarray(FR.to_mont_host(xs))
     ev = jax.jit(lambda c, p: jpoly.poly_eval(FR, c, p))(c, pows)
-    assert FR.from_mont_host(np.asarray(ev[None]))[0] == poly_eval(xs, x)
+    assert FR.from_mont_host(np.asarray(ev[:, None]))[0] == poly_eval(xs, x)
 
 
 def test_prefix_product():
@@ -89,11 +89,11 @@ def test_prefix_product():
 def test_divide_linear():
     xs = _rand(50, 5)
     z = 1234567
-    zm = jnp.asarray(FR.to_mont_host([z]))[0]
+    zm = jnp.asarray(FR.to_mont_host([z]))[:, 0]
     c = jnp.asarray(FR.to_mont_host(xs))
     q, r = jax.jit(lambda c, z: jpoly.divide_linear(FR, c, z))(c, zm)
     assert FR.from_mont_host(np.asarray(q)) == poly_divide_linear(xs, z)
-    assert FR.from_mont_host(np.asarray(r[None]))[0] == poly_eval(xs, z)
+    assert FR.from_mont_host(np.asarray(r[:, None]))[0] == poly_eval(xs, z)
 
 
 def test_four_step_large_ntt():

@@ -1,4 +1,5 @@
-"""Multi-chip sharding on the 8-device virtual CPU mesh."""
+"""Multi-chip sharding on the 8-device virtual CPU mesh (limbs-leading
+(L, ...) layout)."""
 
 import random
 
@@ -23,29 +24,29 @@ def test_four_step_ntt_sharded():
     m = pmesh.make_mesh(8)
     rows = [[rng.randrange(R_MOD) for _ in range(fsp.n2)]
             for _ in range(fsp.n1)]
-    dev = jnp.asarray(np.stack([FR.to_mont_host(r) for r in rows]))
+    flat = [rows[i1][i2] for i1 in range(fsp.n1) for i2 in range(fsp.n2)]
+    dev = jnp.asarray(FR.to_mont_host(flat)).reshape(FR.L, fsp.n1, fsp.n2)
     out = pmesh.four_step_ntt(fsp, m, dev)
-    got = [FR.from_mont_host(np.asarray(out[i])) for i in range(fsp.n1)]
+    got = [FR.from_mont_host(np.asarray(out[:, i, :]))
+           for i in range(fsp.n1)]
     expect = pmesh.reference_four_step_check(fsp, rows)
     assert got == expect
 
 
 @needs_8
-@pytest.mark.skipif("RUN_HEAVY_PARALLEL" not in __import__("os").environ,
-                    reason="shard_map msm_window compiles for many minutes "
-                           "on CPU; set RUN_HEAVY_PARALLEL=1 to run")
-@pytest.mark.slow
 def test_sharded_msm_window():
-    from zprize_tpu.curve.g1 import affine_points_to_device, xyzz_to_affine_host
+    from zprize_tpu.curve.g1 import (affine_points_to_device,
+                                     xyzz_to_affine_host)
     from zprize_tpu.ref.curve import G1_GEN, g1_mul, g1_add
     rng = random.Random(3)
     n = 32
     pts = [g1_mul(G1_GEN, rng.randrange(1, 500)) for _ in range(n)]
     digs = np.asarray([rng.randrange(16) for _ in range(n)], dtype=np.uint32)
-    x, y, inf = affine_points_to_device(pts)
+    x, y, _inf = affine_points_to_device(pts)
     m = pmesh.make_mesh(8)
-    out = pmesh.sharded_msm_window_partials(m, x, y, inf, jnp.asarray(digs), 4)
-    got = xyzz_to_affine_host({k: v[None] for k, v in out.items()})[0]
+    out = pmesh.sharded_msm_window_partials(m, x, y, jnp.asarray(digs),
+                                            window_bits=4, capacity=8)
+    got = xyzz_to_affine_host({k: v[:, None] for k, v in out.items()})[0]
     expect = None
     for p, d in zip(pts, digs):
         expect = g1_add(expect, g1_mul(p, int(d)))
@@ -69,14 +70,15 @@ def test_sharded_poseidon():
 
 @needs_8
 def test_sharded_point_sum():
-    from zprize_tpu.curve.g1 import affine_points_to_device, xyzz_to_affine_host
+    from zprize_tpu.curve.g1 import (affine_points_to_device,
+                                     xyzz_to_affine_host)
     from zprize_tpu.ref.curve import G1_GEN, g1_mul, g1_add
     rng = random.Random(6)
     pts = [g1_mul(G1_GEN, rng.randrange(1, 500)) for _ in range(16)]
-    x, y, inf = affine_points_to_device(pts)
+    x, y, _inf = affine_points_to_device(pts)
     m = pmesh.make_mesh(8)
-    out = pmesh.sharded_point_sum(m, x, y, inf)
-    got = xyzz_to_affine_host({k: v[None] for k, v in out.items()})[0]
+    out = pmesh.sharded_point_sum(m, x, y)
+    got = xyzz_to_affine_host({k: v[:, None] for k, v in out.items()})[0]
     expect = None
     for p in pts:
         expect = g1_add(expect, p)

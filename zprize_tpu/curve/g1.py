@@ -2,41 +2,65 @@
 limbed Fq tensors — TPU-native counterpart of the reference's
 `lib/PLONK/utils/zkp/cuda/ec/xyzz_t.hpp`.
 
-A point batch is a dict of (..., L) Montgomery-form uint32 arrays:
+A point batch is a dict of (L, ...) limbs-leading Montgomery uint32 arrays:
   {"X", "Y", "ZZ", "ZZZ"}     with x = X/ZZ, y = Y/ZZZ, ZZ^3 = ZZZ^2.
-Identity is encoded as ZZ == 0 (as in xyzz_t).
+Identity is encoded as ZZ == 0 (as in xyzz_t). Affine identity is encoded
+as (x, y) == (0, 0) (0 is not a valid x on the curve: y^2 = x^3 + 4).
 
-All branches (identity, doubling, inverse points) are resolved with
-element-wise selects so the ops compose into scans/reductions under XLA.
+On TPU the binary point ops are single fused Pallas kernels
+(`fields/pkern.py`); the CPU/XLA path composes vectorized field ops.
+All branches (identity, doubling, inverse) are elementwise selects so the
+ops compose into tree reductions under XLA.
 """
 
 import numpy as np
 import jax.numpy as jnp
 
-from ..fields import mont
+from ..fields import mont, pkern
 from ..fields.mont import FQ, U32
+
+_COORDS = ("X", "Y", "ZZ", "ZZZ")
 
 
 def xyzz_zero(shape=()):
     L = FQ.L
-    z = jnp.zeros(shape + (L,), dtype=U32)
-    return {"X": z, "Y": z, "ZZ": z, "ZZZ": z}
+    z = jnp.zeros((L,) + tuple(shape), dtype=U32)
+    return {k: z for k in _COORDS}
 
 
 def xyzz_from_affine(x, y, inf_mask=None):
-    """x, y: (..., L) Montgomery-form; inf_mask: (...,) bool."""
-    one = jnp.broadcast_to(jnp.asarray(FQ.one_mont, dtype=U32), x.shape)
-    zz = one
-    zzz = one
-    if inf_mask is not None:
-        zero = jnp.zeros_like(x)
-        zz = mont.select(~inf_mask, zz, zero)
-        zzz = mont.select(~inf_mask, zzz, zero)
-    return {"X": x, "Y": y, "ZZ": zz, "ZZZ": zzz}
+    """x, y: (L, ...) Montgomery; inf_mask: (...,) bool (optional when the
+    (0,0) == identity convention already holds)."""
+    one = jnp.broadcast_to(
+        jnp.asarray(FQ.one_mont, dtype=U32).reshape(
+            (FQ.L,) + (1,) * (x.ndim - 1)), x.shape)
+    if inf_mask is None:
+        inf_mask = jnp.logical_and(mont.is_zero(x), mont.is_zero(y))
+    zero = jnp.zeros_like(x)
+    zz = mont.select(~inf_mask, one, zero)
+    return {"X": x, "Y": y, "ZZ": zz, "ZZZ": zz}
 
 
 def is_identity(p):
     return mont.is_zero(p["ZZ"])
+
+
+def _stack4(p):
+    return jnp.concatenate([p[k] for k in _COORDS], axis=0)
+
+
+def _unstack4(a):
+    L = FQ.L
+    return {k: a[i * L:(i + 1) * L] for i, k in enumerate(_COORDS)}
+
+
+def _flat2(x):
+    """(L, *batch) -> ((L, n), batch_shape)"""
+    return x.reshape(x.shape[0], -1), x.shape[1:]
+
+
+def _use_pallas(x):
+    return mont.backend() == "pallas" and x.ndim >= 2
 
 
 def _mul(a, b):
@@ -70,9 +94,8 @@ def xyzz_double(p):
     return {"X": X3, "Y": Y3, "ZZ": ZZ3, "ZZZ": ZZZ3}
 
 
-def xyzz_add(p, q):
-    """add-2008-s-1 with full special-case handling (identity, equal,
-    inverse): 12M + 2S + selects."""
+def _xyzz_add_xla(p, q):
+    """add-2008-s-1 with full special-case handling: 12M + 2S + selects."""
     U1 = _mul(p["X"], q["ZZ"])
     U2 = _mul(q["X"], p["ZZ"])
     S1 = _mul(p["Y"], q["ZZZ"])
@@ -108,27 +131,127 @@ def xyzz_add(p, q):
     return out
 
 
+def xyzz_add(p, q):
+    p, q = _bcast_points(p, q)
+    x = p["X"]
+    if _use_pallas(x):
+        a, batch = _flat2(_stack4(p))
+        b, _ = _flat2(_stack4(q))
+        out = pkern.xyzz_add(FQ.K, a, b)
+        return {k: v.reshape((FQ.L,) + batch)
+                for k, v in _unstack4(out).items()}
+    p, q = _bcast_points(p, q)
+    return _xyzz_add_xla(p, q)
+
+
+def xyzz_add_mixed(p, qx, qy):
+    """xyzz + affine (qx, qy with (0,0) == identity)."""
+    if _use_pallas(p["X"]):
+        a, batch = _flat2(_stack4(p))
+        out = pkern.xyzz_add_mixed(
+            FQ.K, a, qx.reshape(FQ.L, -1), qy.reshape(FQ.L, -1))
+        return {k: v.reshape((FQ.L,) + batch)
+                for k, v in _unstack4(out).items()}
+    return _xyzz_add_xla(p, xyzz_from_affine(qx, qy))
+
+
+def xyzz_add_affine2(px, py, qx, qy):
+    """affine + affine -> xyzz (first level of MSM bucket trees)."""
+    if _use_pallas(px):
+        a, batch = _flat2(px)
+        out = pkern.xyzz_add_affine2(
+            FQ.K, a, py.reshape(FQ.L, -1), qx.reshape(FQ.L, -1),
+            qy.reshape(FQ.L, -1))
+        return {k: v.reshape((FQ.L,) + batch)
+                for k, v in _unstack4(out).items()}
+    return _xyzz_add_xla(xyzz_from_affine(px, py), xyzz_from_affine(qx, qy))
+
+
+def _bcast_points(p, q):
+    shape = jnp.broadcast_shapes(p["X"].shape, q["X"].shape)
+    return ({k: jnp.broadcast_to(v, shape) for k, v in p.items()},
+            {k: jnp.broadcast_to(v, shape) for k, v in q.items()})
+
+
 def xyzz_neg(p):
     return {"X": p["X"], "Y": mont.neg(FQ, p["Y"]), "ZZ": p["ZZ"],
             "ZZZ": p["ZZZ"]}
 
 
 def xyzz_index(p, idx):
-    return {k: jnp.take(v, idx, axis=0) for k, v in p.items()}
+    return {k: jnp.take(v, idx, axis=1) for k, v in p.items()}
 
 
 def xyzz_select(mask, p, q):
     return {k: mont.select(mask, p[k], q[k]) for k in p}
 
 
+def _shift_identity(p, d, m):
+    """q[j] = p[j + d] for j + d < m else identity (all-zero coords).
+    d may be a traced scalar; shape is constant (Hillis-Steele step)."""
+    idx = jnp.arange(m)
+    keep = (idx + d) < m
+    return {k: jnp.where(keep, jnp.roll(v, -d, axis=-1),
+                         jnp.zeros_like(v)) for k, v in p.items()}
+
+
+def xyzz_tree_sum(p, unroll_max=4):
+    """Sum a batch of points along the LAST batch axis, log-depth.
+
+    Compiles to ONE xyzz_add inside a fori_loop over log2(m) stride-doubling
+    steps (shape-constant Hillis-Steele), so graph size — and therefore XLA
+    compile time — is O(1) in m instead of O(log m) unrolled copies. Work is
+    ~2x the pairwise tree; latency identical. Tiny m stays unrolled."""
+    m = p["X"].shape[-1]
+    if m <= unroll_max:
+        while m > 1:
+            if m % 2 == 1:
+                pad = {k: jnp.zeros(v.shape[:-1] + (1,), dtype=v.dtype)
+                       for k, v in p.items()}
+                p = {k: jnp.concatenate([v, pad[k]], axis=-1)
+                     for k, v in p.items()}
+                m += 1
+            p = xyzz_add({k: v[..., 0::2] for k, v in p.items()},
+                         {k: v[..., 1::2] for k, v in p.items()})
+            m //= 2
+        return {k: v[..., 0] for k, v in p.items()}
+
+    steps = (m - 1).bit_length()
+
+    def body(i, acc):
+        d = jnp.left_shift(jnp.int32(1), i)
+        return xyzz_add(acc, _shift_identity(acc, d, m))
+
+    import jax
+    p = jax.lax.fori_loop(0, steps, body, p)
+    return {k: v[..., 0] for k, v in p.items()}
+
+
+def xyzz_to_affine_device(p):
+    """Device xyzz batch -> affine (x, y) with (0,0) identity encoding.
+    Uses ONE batched inversion for both ZZ and ZZZ. NOT jit-safe (host
+    round-trip inside batch_inv)."""
+    zz, batch = _flat2(p["ZZ"])
+    zzz = p["ZZZ"].reshape(FQ.L, -1)
+    both = jnp.concatenate([zz, zzz], axis=1)
+    inv_both = mont.batch_inv(FQ, both)
+    n = zz.shape[1]
+    x = _mul(p["X"].reshape(FQ.L, -1), inv_both[:, :n])
+    y = _mul(p["Y"].reshape(FQ.L, -1), inv_both[:, n:])
+    inf = mont.is_zero(zz)
+    x = mont.select(~inf, x, jnp.zeros_like(x))
+    y = mont.select(~inf, y, jnp.zeros_like(y))
+    return (x.reshape((FQ.L,) + batch), y.reshape((FQ.L,) + batch))
+
+
 def xyzz_to_affine_host(p):
-    """Pull a small xyzz batch to host and convert to Python-int affine
-    tuples (or None) — the 'CPU collect' step, like the reference's
-    msmcollect (`lib/PLONK/utils/msmcollect.cpp`)."""
-    X = FQ.from_mont_host(np.asarray(p["X"]).reshape(-1, FQ.L))
-    Y = FQ.from_mont_host(np.asarray(p["Y"]).reshape(-1, FQ.L))
-    ZZ = FQ.from_mont_host(np.asarray(p["ZZ"]).reshape(-1, FQ.L))
-    ZZZ = FQ.from_mont_host(np.asarray(p["ZZZ"]).reshape(-1, FQ.L))
+    """Pull a small xyzz batch to host -> Python-int affine tuples (or
+    None) — the 'CPU collect' step (reference `msmcollect.cpp`)."""
+    flat = {k: v.reshape(FQ.L, -1) for k, v in p.items()}
+    X = FQ.from_mont_host(np.asarray(flat["X"]))
+    Y = FQ.from_mont_host(np.asarray(flat["Y"]))
+    ZZ = FQ.from_mont_host(np.asarray(flat["ZZ"]))
+    ZZZ = FQ.from_mont_host(np.asarray(flat["ZZZ"]))
     from ..params import Q_MOD
     out = []
     for x, y, zz, zzz in zip(X, Y, ZZ, ZZZ):
@@ -142,7 +265,7 @@ def xyzz_to_affine_host(p):
 
 def affine_points_to_device(points):
     """Python-int affine points [(x, y) | None] -> device arrays
-    (x_mont (n,L), y_mont (n,L), inf_mask (n,))."""
+    (x_mont (L, n), y_mont (L, n), inf_mask (n,)); identity -> (0, 0)."""
     xs, ys, infs = [], [], []
     for pt in points:
         if pt is None:

@@ -1,6 +1,6 @@
-"""FV — a thin operator wrapper over (…, L) Montgomery Fr tensors so protocol
-formulas read like the scalar spec (`protocol/widgets.py`) while compiling to
-vectorized limb ops."""
+"""FV — a thin operator wrapper over (L, …) limbs-leading Montgomery Fr
+tensors so protocol formulas read like the scalar spec
+(`protocol/widgets.py`) while compiling to vectorized limb ops."""
 
 import jax.numpy as jnp
 
@@ -17,11 +17,11 @@ class FV:
     # -- constructors --
     @staticmethod
     def const(x: int):
-        return FV(jnp.asarray(FR.to_mont_host([x % FR.mod])[0]))
+        return FV(jnp.asarray(FR.scalar_mont(x)))
 
     @staticmethod
     def zeros(shape):
-        return FV(jnp.zeros(tuple(shape) + (FR.L,), dtype=U32))
+        return FV(jnp.zeros((FR.L,) + tuple(shape), dtype=U32))
 
     @staticmethod
     def one():
@@ -52,13 +52,13 @@ class FV:
         """multiply by a small integer constant"""
         return self * FV.const(k)
 
-    # -- structure --
+    # -- structure (batch axes are v.shape[1:]) --
     def __getitem__(self, idx):
-        return FV(self.v[idx])
+        return FV(self.v[:, idx])
 
     def roll(self, k):
-        return FV(jnp.roll(self.v, -k, axis=0))
+        return FV(jnp.roll(self.v, -k, axis=1))
 
     @property
     def shape(self):
-        return self.v.shape[:-1]
+        return self.v.shape[1:]

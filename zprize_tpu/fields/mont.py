@@ -1,22 +1,29 @@
 """Vectorized Montgomery field arithmetic over 16-bit limbs (JAX).
 
 TPU-native counterpart of the reference's CUDA `mont_t` CIOS kernels
-(`lib/PLONK/utils/mont/cuda/ff/mont_t.cuh`) — redesigned as *fully
-vectorized* array programs (no per-limb Python loops):
+(`lib/PLONK/utils/mont/cuda/ff/mont_t.cuh`).
 
-  * products: outer-product + anti-diagonal gather column sums;
-  * Montgomery reduction: non-interleaved REDC — m = T*N' mod R and T + m*N
-    are convolutions against constant limb vectors;
-  * carries: two folding rounds then a Kogge-Stone prefix over
-    (generate, propagate) bits — log-depth and ~30 ops regardless of width.
+Layout contract (round 2): field tensors are **limbs-leading** —
+`(L, *batch)` uint32 arrays with 16-bit limbs — so the batch axis sits on
+the TPU's 128-lane minor dimension. (The round-1 `(batch, L)` layout
+padded the 16/24-limb minor axis to 128 lanes: 8x wasted HBM traffic and
+footprint.) Scalars are `(L,)`.
 
-This keeps the per-op jaxpr small (~200 eqns per mul vs ~900 for a CIOS
-loop), which keeps XLA compile times of scan/NTT/MSM graphs tractable.
+Two backends, selected per-platform (env `ZPRIZE_BACKEND=pallas|xla|auto`):
+  * `pallas` (TPU): fused kernels in `pkern.py`, all limb temporaries in
+    VMEM;
+  * `xla` (CPU tests / fallback): fully vectorized array programs — product
+    columns via shifted accumulation, non-interleaved REDC, Kogge-Stone
+    log-depth carry resolution.
 
-Invariants: limbs < 2^16 in uint32 lanes; values in Montgomery form unless
-noted; all public ops return fully reduced values (< p).
+`batch_inv` is a log-depth up/down product tree with the single final
+inversion done on HOST (64-byte round-trip + Python `pow`): the Fermat
+ladder would cost ~255 sequential device ops, the round-trip costs ~1 ms.
+Consequently `batch_inv`/`inv` must be called OUTSIDE jit.
 """
 
+import contextlib
+import os
 from functools import partial
 
 import numpy as np
@@ -25,6 +32,7 @@ import jax.numpy as jnp
 
 from ..params import R_MOD, Q_MOD
 from .limb import int_to_limbs, ints_to_limbs, limbs_to_ints, LIMB_BITS
+from . import pkern
 
 U32 = jnp.uint32
 MASK = np.uint32((1 << LIMB_BITS) - 1)
@@ -46,28 +54,71 @@ class FieldCtx:
         self.one_mont = int_to_limbs(self.R, L)
         self.inv_exp_bits = [(mod - 2) >> i & 1
                              for i in range((mod - 2).bit_length())]
+        self.K = pkern.KCfg(mod, L, name)
 
-    # ---------------- host conversions ----------------
+    # ---------------- host conversions (limbs-leading) ----------------
     def to_mont_host(self, xs) -> np.ndarray:
-        return ints_to_limbs([x * self.R % self.mod for x in xs], self.L)
+        """ints -> (L, len(xs)) uint32 Montgomery limbs."""
+        return ints_to_limbs([x * self.R % self.mod for x in xs],
+                             self.L).T.copy()
 
     def from_mont_host(self, arr) -> list:
+        """(L, m) Montgomery limbs -> list of ints."""
         rinv = pow(self.R, -1, self.mod)
-        return [v * rinv % self.mod for v in limbs_to_ints(np.asarray(arr))]
+        a = np.asarray(arr)
+        return [v * rinv % self.mod for v in limbs_to_ints(a.T)]
 
     def raw_to_limbs_host(self, xs) -> np.ndarray:
-        return ints_to_limbs([x % self.mod for x in xs], self.L)
+        return ints_to_limbs([x % self.mod for x in xs], self.L).T.copy()
+
+    def scalar_mont(self, x: int) -> np.ndarray:
+        """single int -> (L,) Montgomery limbs."""
+        return self.to_mont_host([x % self.mod])[:, 0]
 
 
 FR = FieldCtx(R_MOD, 16, "fr")
 FQ = FieldCtx(Q_MOD, 24, "fq")
 
+_BACKEND = None
+_FORCE_XLA = 0
+
+
+def backend() -> str:
+    global _BACKEND
+    if _BACKEND is None:
+        e = os.environ.get("ZPRIZE_BACKEND", "auto")
+        if e == "auto":
+            e = "pallas" if jax.default_backend() != "cpu" else "xla"
+        _BACKEND = e
+    return "xla" if _FORCE_XLA else _BACKEND
+
+
+@contextlib.contextmanager
+def xla_only():
+    """Route field ops through the XLA fallback. Required around
+    `jax.ensure_compile_time_eval()` table builders: pallas_call cannot be
+    traced under compile-time eval (kernel constants error)."""
+    global _FORCE_XLA
+    _FORCE_XLA += 1
+    try:
+        yield
+    finally:
+        _FORCE_XLA -= 1
+
+
+def _pl(cfg, fn, *arrays, n_out=1):
+    """Flatten (L*, *batch) arrays to 2D, run a pkern op, restore batch."""
+    batch = arrays[0].shape[1:]
+    flat = [a.reshape(a.shape[0], -1) if a.ndim != 2 else a for a in arrays]
+    out = fn(cfg.K, *flat)
+    if n_out == 1:
+        return out.reshape(out.shape[0], *batch) if len(batch) != 1 else out
+    return [o.reshape(o.shape[0], *batch) if len(batch) != 1 else o
+            for o in out]
+
 
 # ---------------------------------------------------------------------------
-# carry machinery — limbs-LEADING internal layout (L, ...batch) so the batch
-# sits on the TPU's 128-lane minor dimension (a (batch, 16) layout pads the
-# 16-limb axis to 128 lanes: 8x wasted memory/bandwidth, and the (batch,L,L)
-# product intermediate OOMs at n=2^20).
+# XLA fallback machinery (limbs-leading throughout)
 # ---------------------------------------------------------------------------
 
 def _shift_up(x, d, fill=0):
@@ -78,15 +129,12 @@ def _shift_up(x, d, fill=0):
 
 def _norm_ks(t):
     """Exact carry normalization of column sums (cols < 2^24).
-    Input (K, ...) -> output (K+1, ...) 16-bit limbs (top limb is the
-    carry-out, < 2^16)."""
+    Input (K, ...) -> output (K+1, ...) 16-bit limbs."""
     K = t.shape[0]
     pad = [(0, 1)] + [(0, 0)] * (t.ndim - 1)
-    t = jnp.pad(t, pad)  # headroom column
-    # two folding rounds: cols < 2^24 -> <= 2^16
+    t = jnp.pad(t, pad)
     for _ in range(2):
         t = (t & MASK) + _shift_up(t >> LIMB_BITS, 1)
-    # now t[k] <= 65536: single-bit generates; Kogge-Stone the +1 chains
     g = (t >> LIMB_BITS) != 0
     r = t & MASK
     p = r == MASK
@@ -111,43 +159,40 @@ def _twos_complement_sub_t(a, b_limbs):
 
 def _conv_columns_t(a, b, width):
     """Column sums of the product of limb vectors a (L, ...) x b (Lb, ...),
-    truncated to `width` columns. Shifted-accumulate over a's limbs: no
-    (L, Lb, ...) intermediate, every op is (width, batch)-shaped."""
+    truncated to `width` columns. Expressed as stack(shifted b) * a +
+    reduce — pure elementwise/reduce (XLA fuses it); no scatter-adds,
+    which compile and run poorly."""
     L = a.shape[0]
     Lb = b.shape[0]
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    t = jnp.zeros((width,) + bshape, dtype=U32)
-    for i in range(L):
-        if i >= width:
-            break
-        p = a[i][None] * b                    # (Lb, ...) exact u32
-        lo = p & MASK
-        hi = p >> LIMB_BITS
-        end = min(width, i + Lb)
-        t = t.at[i:end].add(lo[:end - i])
-        end2 = min(width, i + 1 + Lb)
-        if end2 > i + 1:
-            t = t.at[i + 1:end2].add(hi[:end2 - i - 1])
-    return t
+    b = jnp.broadcast_to(b, (Lb,) + bshape)
+    tail = [(0, 0)] * (b.ndim - 1)
+    # bsh[i, k] = b[k - i]  (zero outside), shape (L, width, ...)
+    rows = []
+    for i in range(min(L, width)):
+        lo_pad = i
+        hi_pad = width - i - Lb
+        if hi_pad >= 0:
+            r = jnp.pad(b, [(lo_pad, hi_pad)] + tail)
+        else:
+            r = jnp.pad(b[:width - i], [(lo_pad, 0)] + tail)
+        rows.append(r)
+    bsh = jnp.stack(rows)                       # (L, width, ...)
+    p = a[:min(L, width), None] * bsh
+    lo = (p & MASK).sum(axis=0)
+    hi = (p >> LIMB_BITS).sum(axis=0)
+    # hi contributes one column up
+    hi_sh = jnp.pad(hi, [(1, 0)] + tail)[:width]
+    return (lo + hi_sh).astype(U32)
 
 
-# ---------------------------------------------------------------------------
-# public field ops (external layout unchanged: (..., L))
-# ---------------------------------------------------------------------------
-
-def _tin(x):
-    """(..., L) -> (L, ...)"""
-    return jnp.moveaxis(x, -1, 0)
-
-
-def _tout(x):
-    """(L, ...) -> (..., L)"""
-    return jnp.moveaxis(x, 0, -1)
+def _const_t(cfg, limbs, ndim):
+    return jnp.asarray(limbs, dtype=U32).reshape(
+        (cfg.L,) + (1,) * (ndim - 1))
 
 
 def _cond_sub_mod_t(cfg, a, extra_carry=None):
-    mod = jnp.asarray(cfg.mod_limbs, dtype=U32).reshape(
-        (cfg.L,) + (1,) * (a.ndim - 1))
+    mod = _const_t(cfg, cfg.mod_limbs, a.ndim)
     diff, no_borrow = _twos_complement_sub_t(a, mod)
     take = no_borrow != 0
     if extra_carry is not None:
@@ -155,146 +200,202 @@ def _cond_sub_mod_t(cfg, a, extra_carry=None):
     return jnp.where(take[None], diff, a)
 
 
-def _bcast2(cfg, a, b):
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    return (jnp.broadcast_to(a, shape + (cfg.L,)),
-            jnp.broadcast_to(b, shape + (cfg.L,)))
+def _bc2(cfg, a, b):
+    """Broadcast two (L, *batch) operands to a common batch shape (batch
+    dims align trailing; leading 1s are inserted after the limb axis)."""
+    shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    def bc(x):
+        pad = len(shape) - (x.ndim - 1)
+        if pad:
+            x = x.reshape(x.shape[:1] + (1,) * pad + x.shape[1:])
+        return jnp.broadcast_to(x, (x.shape[0],) + shape)
+
+    return bc(a), bc(b)
 
 
-def add(cfg, a, b):
-    a, b = _bcast2(cfg, a, b)
-    t = _tin(a) + _tin(b)
-    f = _norm_ks(t)
-    return _tout(_cond_sub_mod_t(cfg, f[:cfg.L], extra_carry=f[cfg.L]))
+def _xla_add(cfg, a, b):
+    f = _norm_ks(a + b)
+    return _cond_sub_mod_t(cfg, f[:cfg.L], extra_carry=f[cfg.L])
 
 
-def sub(cfg, a, b):
-    a, b = _bcast2(cfg, a, b)
-    at, bt = _tin(a), _tin(b)
-    d, no_borrow = _twos_complement_sub_t(at, bt)
-    mod = jnp.asarray(cfg.mod_limbs, dtype=U32).reshape(
-        (cfg.L,) + (1,) * (d.ndim - 1))
+def _xla_sub(cfg, a, b):
+    d, no_borrow = _twos_complement_sub_t(a, b)
+    mod = _const_t(cfg, cfg.mod_limbs, d.ndim)
     d2 = _norm_ks(d + mod)[:cfg.L]
-    return _tout(jnp.where((no_borrow == 0)[None], d2, d))
+    return jnp.where((no_borrow == 0)[None], d2, d)
 
 
-def neg(cfg, a):
-    at = _tin(a)
-    mod = jnp.broadcast_to(jnp.asarray(cfg.mod_limbs, dtype=U32).reshape(
-        (cfg.L,) + (1,) * (at.ndim - 1)), at.shape)
-    d, _ = _twos_complement_sub_t(mod, at)
-    is_z = jnp.all(at == 0, axis=0, keepdims=True)
-    return _tout(jnp.where(is_z, at, d))
+def _xla_neg(cfg, a):
+    mod = jnp.broadcast_to(_const_t(cfg, cfg.mod_limbs, a.ndim), a.shape)
+    d, _ = _twos_complement_sub_t(mod, a)
+    is_z = jnp.all(a == 0, axis=0, keepdims=True)
+    return jnp.where(is_z, a, d)
 
 
-def mont_mul(cfg, a, b):
+def _xla_mul(cfg, a, b):
     """REDC: (a*b + m*N)/R with m = (a*b mod R)*N' mod R."""
     L = cfg.L
-    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    at = _tin(jnp.broadcast_to(a, shape + (L,)))
-    bt = _tin(jnp.broadcast_to(b, shape + (L,)))
-    cshape = (1,) * len(shape)
+    cshape = (1,) * (a.ndim - 1)
     nprime = jnp.asarray(cfg.nprime_limbs, dtype=U32).reshape((L,) + cshape)
     nmod = jnp.asarray(cfg.mod_limbs, dtype=U32).reshape((L,) + cshape)
 
-    T = _conv_columns_t(at, bt, 2 * L + 1)            # cols < 2^22
+    T = _conv_columns_t(a, b, 2 * L + 1)
     Tlow = T[:L]
     Tl = Tlow & MASK
-    Th = Tlow >> LIMB_BITS                            # < 2^6
+    Th = Tlow >> LIMB_BITS
     m_cols = _conv_columns_t(Tl, nprime, L) + \
-        _shift_up(_conv_columns_t(Th, nprime, L), 1)  # cols < 2^23
-    m = _norm_ks(m_cols)[:L]                          # mod R
+        _shift_up(_conv_columns_t(Th, nprime, L), 1)
+    m = _norm_ks(m_cols)[:L]
     Uc = _conv_columns_t(m, nmod, 2 * L + 1)
-    X = T + Uc                                        # cols < 2^23
-    Xn = _norm_ks(X)                                  # (2L+2, ...) exact
+    Xn = _norm_ks(T + Uc)
     r = Xn[L:2 * L]
-    extra = Xn[2 * L]                                 # 0 or 1 (result < 2N)
-    return _tout(_cond_sub_mod_t(cfg, r, extra_carry=extra))
+    extra = Xn[2 * L]
+    return _cond_sub_mod_t(cfg, r, extra_carry=extra)
+
+
+# jit-shared entry points: every call site becomes ONE pjit call instead of
+# ~10^2 inlined limb eqns — round-1 measured 11x faster jaxpr->MLIR lowering
+# (NOTES_ROUND1.md). FieldCtx instances are singletons (identity hash).
+_xla_mul_j = jax.jit(_xla_mul, static_argnums=0)
+_xla_add_j = jax.jit(_xla_add, static_argnums=0)
+_xla_sub_j = jax.jit(_xla_sub, static_argnums=0)
+_xla_neg_j = jax.jit(_xla_neg, static_argnums=0)
+
+
+# ---------------------------------------------------------------------------
+# public ops — (L, *batch) in/out, backend-dispatched
+# ---------------------------------------------------------------------------
+
+def add(cfg, a, b):
+    a, b = _bc2(cfg, a, b)
+    if backend() == "pallas" and a.ndim >= 2:
+        return _pl(cfg, pkern.add, a, b)
+    return _xla_add_j(cfg, a, b)
+
+
+def sub(cfg, a, b):
+    a, b = _bc2(cfg, a, b)
+    if backend() == "pallas" and a.ndim >= 2:
+        return _pl(cfg, pkern.sub, a, b)
+    return _xla_sub_j(cfg, a, b)
+
+
+def neg(cfg, a):
+    if backend() == "pallas" and a.ndim >= 2:
+        return _pl(cfg, pkern.neg, a)
+    return _xla_neg_j(cfg, a)
+
+
+def mont_mul(cfg, a, b):
+    a, b = _bc2(cfg, a, b)
+    if backend() == "pallas" and a.ndim >= 2:
+        return _pl(cfg, pkern.mul, a, b)
+    return _xla_mul_j(cfg, a, b)
 
 
 def mont_sqr(cfg, a):
     return mont_mul(cfg, a, a)
 
 
+def butterfly(cfg, u, v, w):
+    """(u + v*w, u - v*w) — fused on TPU."""
+    u, v = _bc2(cfg, u, v)
+    v, w = _bc2(cfg, v, w)
+    u, v = _bc2(cfg, u, v)
+    if backend() == "pallas" and u.ndim >= 2:
+        return tuple(_pl(cfg, pkern.mul_add_sub, u, v, w, n_out=2))
+    vw = _xla_mul_j(cfg, v, w)
+    return _xla_add_j(cfg, u, vw), _xla_sub_j(cfg, u, vw)
+
+
 def mont_pow_fixed(cfg, a, exp_bits_le):
-    """a^e, compile-time exponent, rolled fori_loop (small graph)."""
+    """a^e, compile-time exponent, rolled fori_loop (XLA path only; on TPU
+    use batch_inv / host pow instead)."""
     bits = jnp.asarray(np.asarray(exp_bits_le, dtype=np.uint32))
-    one = jnp.broadcast_to(jnp.asarray(cfg.one_mont, dtype=U32), a.shape)
+    one = jnp.broadcast_to(
+        jnp.asarray(cfg.one_mont, dtype=U32).reshape(
+            (cfg.L,) + (1,) * (a.ndim - 1)), a.shape)
 
     def body(i, state):
         acc, base = state
-        mul = mont_mul(cfg, acc, base)
+        mul = _xla_mul_j(cfg, acc, base)
         acc = jnp.where(bits[i] != 0, mul, acc)
-        base = mont_sqr(cfg, base)
+        base = _xla_mul_j(cfg, base, base)
         return acc, base
 
     acc, _ = jax.lax.fori_loop(0, len(exp_bits_le), body, (one, a))
     return acc
 
 
-@partial(jax.jit, static_argnums=(0,))
 def inv(cfg, a):
-    """Fermat inversion a^(p-2). Zero maps to zero."""
-    return mont_pow_fixed(cfg, a, cfg.inv_exp_bits)
+    """Inverse of (L, *batch); zero maps to zero. NOT jit-safe on TPU
+    (host round-trip for the final inversion)."""
+    if a.ndim == 1:
+        return batch_inv(cfg, a[:, None])[:, 0]
+    return batch_inv(cfg, a)
 
 
-def _hs_prefix_product(cfg, a):
-    """Hillis-Steele inclusive prefix product along axis 0: log2(n) wide
-    vector steps (each a full-width mont_mul) — latency-optimal on the
-    tunneled runtime, where an n-step lax.scan costs ~10 ms per sequential
-    step (h10 round3 measured 2906 s before this change)."""
-    n = a.shape[0]
-    one = jnp.asarray(cfg.one_mont, dtype=U32)
-    d = 1
-    while d < n:
-        ones_pad = jnp.broadcast_to(one[None], (d, cfg.L))
-        shifted = jnp.concatenate([ones_pad, a[:-d]], axis=0)
-        a = mont_mul(cfg, a, shifted)
-        d <<= 1
-    return a
-
-
-@partial(jax.jit, static_argnums=(0,))
 def batch_inv(cfg, a):
-    """Montgomery batched inversion along axis 0 of (n, L): one Fermat chain
-    for the whole batch + two log-depth prefix products."""
+    """Batched inversion along the batch axes of (L, *batch) via an
+    up/down product tree (~3 muls/element, log-depth) + ONE host
+    inversion of the 64-byte total product. Zeros map to zeros."""
+    batch = a.shape[1:]
+    flat = a.reshape(cfg.L, -1)
+    n = flat.shape[1]
     one = jnp.asarray(cfg.one_mont, dtype=U32)
-    is_z = jnp.all(a == 0, axis=-1, keepdims=True)
-    safe = jnp.where(is_z, one, a)
+    is_z = jnp.all(flat == 0, axis=0)
+    safe = jnp.where(is_z[None], one[:, None], flat)
 
-    incl = _hs_prefix_product(cfg, safe)                 # P[i] = x0..xi
-    # exclusive prefix: P_excl[i] = x0..x_{i-1}
-    excl = jnp.concatenate([jnp.broadcast_to(one[None], (1, cfg.L)),
-                            incl[:-1]], axis=0)
-    # suffix products via reversed prefix: S[i] = x_i..x_{n-1}
-    suff = _hs_prefix_product(cfg, safe[::-1])[::-1]
-    total_inv = inv(cfg, incl[-1][None])[0]
-    # inv(x_i) = P_excl[i] * S[i+1] * inv(total);  S[i+1] = S_shifted
-    s_next = jnp.concatenate([suff[1:],
-                              jnp.broadcast_to(one[None], (1, cfg.L))],
-                             axis=0)
-    out = mont_mul(cfg, mont_mul(cfg, excl, s_next), total_inv[None])
-    return jnp.where(is_z, jnp.zeros_like(a), out)
+    n_pad = 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
+    if n_pad != n:
+        pad = jnp.broadcast_to(one[:, None], (cfg.L, n_pad - n))
+        safe = jnp.concatenate([safe, pad], axis=1)
+
+    levels = [safe]
+    cur = safe
+    while cur.shape[1] > 1:
+        cur = mont_mul(cfg, cur[:, 0::2], cur[:, 1::2])
+        levels.append(cur)
+
+    total = levels[-1][:, 0]
+    tot_int = cfg.from_mont_host(np.asarray(total)[:, None])[0]
+    inv_int = pow(tot_int, -1, cfg.mod) if tot_int % cfg.mod else 0
+    inv_cur = jnp.asarray(cfg.to_mont_host([inv_int]))  # (L, 1)
+
+    # down-sweep: children inverses from parent inverses
+    for lvl in range(len(levels) - 2, -1, -1):
+        vals = levels[lvl]
+        left = mont_mul(cfg, inv_cur, vals[:, 1::2])
+        right = mont_mul(cfg, inv_cur, vals[:, 0::2])
+        inv_cur = jnp.stack([left, right], axis=2).reshape(
+            cfg.L, vals.shape[1])
+
+    out = inv_cur[:, :n]
+    out = jnp.where(is_z[None], jnp.zeros_like(out), out)
+    return out.reshape((cfg.L,) + batch)
 
 
-@partial(jax.jit, static_argnums=(0,))
 def to_mont(cfg, a_raw):
-    return mont_mul(cfg, a_raw, jnp.asarray(cfg.r2_limbs, dtype=U32))
+    r2 = jnp.asarray(cfg.r2_limbs, dtype=U32).reshape(
+        (cfg.L,) + (1,) * (a_raw.ndim - 1))
+    return mont_mul(cfg, a_raw, r2)
 
 
-@partial(jax.jit, static_argnums=(0,))
 def from_mont(cfg, a):
-    one_raw = jnp.zeros(cfg.L, dtype=U32).at[0].set(1)
+    one_raw = jnp.zeros((cfg.L,) + (1,) * (a.ndim - 1), dtype=U32)
+    one_raw = one_raw.at[0].set(1)
     return mont_mul(cfg, a, one_raw)
 
 
 def select(mask, a, b):
-    return jnp.where(mask[..., None], a, b)
+    """mask over batch dims: (batch,) -> limb-broadcast where."""
+    return jnp.where(mask[None], a, b)
 
 
 def is_zero(a):
-    return jnp.all(a == 0, axis=-1)
+    return jnp.all(a == 0, axis=0)
 
 
 def eq(a, b):
-    return jnp.all(a == b, axis=-1)
+    return jnp.all(a == b, axis=0)

@@ -179,12 +179,12 @@ class MerkleLayout:
             [t.prologue_wires, wires_g, root_gate, pad_rows], axis=0)  # (n,4)
         self.root_gate_pos = PROLOGUE_GATES + GADGET_GATES * g
 
-        # ---- selector columns as Montgomery limb arrays (n, L) ----
+        # ---- selector columns as Montgomery limb arrays (L, n) ----
         self.selector_limbs = {}
         for name in SELECTOR_NAMES:
-            tmpl = np.asarray(FR.to_mont_host(t.selectors[name]))   # (193, L)
+            tmpl = np.asarray(FR.to_mont_host(t.selectors[name]))   # (L, 193)
             pro = np.asarray(FR.to_mont_host(t.prologue_selectors[name]))
-            tiled = np.tile(tmpl, (g, 1))
+            tiled = np.tile(tmpl, (1, g))
             # root gate: q_l*root + q_o*zero + PI = 0 with q_o = -1 (the
             # arithmetic_gate default out selector)
             if name in ("q_l", "q_arith"):
@@ -194,9 +194,9 @@ class MerkleLayout:
             else:
                 root_val = 0
             root_sel = np.asarray(FR.to_mont_host([root_val]))
-            padz = np.zeros((self.n - self.n_real, FR.L), dtype=np.uint32)
+            padz = np.zeros((FR.L, self.n - self.n_real), dtype=np.uint32)
             self.selector_limbs[name] = np.concatenate(
-                [pro, tiled, root_sel, padz], axis=0)
+                [pro, tiled, root_sel, padz], axis=1)
 
     # ------------------------------------------------------------------
     # sigma permutation (vectorized; matches composer cycle semantics)
@@ -227,19 +227,19 @@ class MerkleLayout:
         return sigma
 
     def sigma_evals_device(self):
-        """4 device arrays (n, L): K_{slot(target)} * omega^{gate(target)}."""
+        """4 device arrays (L, n): K_{slot(target)} * omega^{gate(target)}."""
         plan = jntt.get_plan(self.n.bit_length() - 1)
-        omega_m = jnp.asarray(FR.to_mont_host([plan.omega]))[0]
-        roots = jpoly.powers(FR, omega_m, self.n)          # (n, L) mont
-        ks = jnp.asarray(FR.to_mont_host([1, K1, K2, K3]))  # (4, L)
+        omega_m = jnp.asarray(FR.scalar_mont(plan.omega))
+        roots = jpoly.powers(FR, omega_m, self.n)          # (L, n) mont
+        ks = jnp.asarray(FR.to_mont_host([1, K1, K2, K3]))  # (L, 4)
         sigma = self.sigma_flat().reshape(self.n, 4)        # per (gate, slot)
         out = []
         for slot in range(4):
             tgt = sigma[:, slot]
             tgt_gate = jnp.asarray(tgt // 4)
             tgt_slot = jnp.asarray(tgt % 4)
-            vals = mont.mont_mul(FR, jnp.take(roots, tgt_gate, axis=0),
-                                 jnp.take(ks, tgt_slot, axis=0))
+            vals = mont.mont_mul(FR, jnp.take(roots, tgt_gate, axis=1),
+                                 jnp.take(ks, tgt_slot, axis=1))
             out.append(vals)
         return out
 
@@ -247,47 +247,44 @@ class MerkleLayout:
     # per-proof witness (device)
     # ------------------------------------------------------------------
     def witness(self, leaf_values_mont):
-        """leaf_values_mont: (m_leaves, L) device Montgomery array.
-        Returns (wire value columns [4 x (n, L)], root value (host int),
-        node values device array)."""
+        """leaf_values_mont: (L, m_leaves) device Montgomery array.
+        Returns (wire value columns [4 x (L, n)], root value (host int),
+        node values device array (L, m_nodes))."""
         t = get_template()
-        h = self.height
-        m = self.m_leaves
 
         # level-by-level batched Poseidon (bottom level first)
         level_inputs = leaf_values_mont
-        node_vals_levels = []    # bottom-up: list of (m_level, L)
+        node_vals_levels = []    # bottom-up: list of (L, m_level)
         locals_blocks = []       # in gadget-emission order (bottom first)
         tag = None
-        while level_inputs.shape[0] > 1:
-            left = level_inputs[0::2]
-            right = level_inputs[1::2]
-            states = pvec.poseidon_states(left, right)     # (64, b, 3, L)
-            b = left.shape[0]
-            outs = states[-1][:, 1]                        # (b, L)
+        while level_inputs.shape[1] > 1:
+            left = level_inputs[:, 0::2]
+            right = level_inputs[:, 1::2]
+            states = pvec.poseidon_states(left, right)     # (64, L, b, 3)
+            b = left.shape[1]
+            outs = states[-1][..., 1]                      # (L, b)
             # locals: [tag, s0(3), ..., s63(3)] per gadget
             if tag is None:
-                tagv = jnp.asarray(FR.to_mont_host(
-                    [PoseidonConstants.generate(3).domain_tag]))
-                tag = tagv
-            tags = jnp.broadcast_to(tag[:, None], (b, 1, FR.L))
-            st = jnp.transpose(states, (1, 0, 2, 3)).reshape(b, 192, FR.L)
-            locals_blocks.append(jnp.concatenate([tags, st], axis=1))
+                tag = jnp.asarray(FR.scalar_mont(
+                    PoseidonConstants.generate(3).domain_tag))
+            tags = jnp.broadcast_to(tag[:, None, None], (FR.L, b, 1))
+            st = jnp.transpose(states, (1, 2, 0, 3)).reshape(FR.L, b, 192)
+            locals_blocks.append(jnp.concatenate([tags, st], axis=2))
             node_vals_levels.append(outs)
             level_inputs = outs
 
         # node values in level order (root first)
-        node_vals = jnp.concatenate(list(reversed(node_vals_levels)), axis=0)
+        node_vals = jnp.concatenate(list(reversed(node_vals_levels)), axis=1)
         # locals in emission order == bottom level first
         locals_all = jnp.concatenate(
-            [blk.reshape(-1, FR.L) for blk in locals_blocks], axis=0)
+            [blk.reshape(FR.L, -1) for blk in locals_blocks], axis=1)
 
         prologue = jnp.asarray(FR.to_mont_host(t.prologue_values))
         flat = jnp.concatenate(
-            [prologue, leaf_values_mont, node_vals, locals_all], axis=0)
-        assert flat.shape[0] == self.n_vars
+            [prologue, leaf_values_mont, node_vals, locals_all], axis=1)
+        assert flat.shape[1] == self.n_vars
 
         widx = jnp.asarray(self.wire_index)
-        wires = [jnp.take(flat, widx[:, s], axis=0) for s in range(4)]
-        root_val = FR.from_mont_host(np.asarray(node_vals[0][None]))[0]
+        wires = [jnp.take(flat, widx[:, s], axis=1) for s in range(4)]
+        root_val = FR.from_mont_host(np.asarray(node_vals[:, :1]))[0]
         return wires, root_val, node_vals

@@ -1,153 +1,225 @@
 """Pippenger MSM on device — TPU-native replacement for the sppark CUDA MSM
 (`lib/PLONK/utils/zkp/cuda/msm/pippenger.cuh`).
 
-XLA-first redesign (no data-dependent control flow, no segmented scans):
-  * window digits = the scalar's 16-bit limbs (16 unsigned windows, zero
-    extraction cost);
-  * per window: sort points by digit; because digits are then sorted, every
-    bucket is a contiguous run, so bucket sums are *differences of an
-    UNSEGMENTED inclusive point-scan*: B_b = S[end_b-1] - S[start_b-1],
-    where EC subtraction is a cheap y-negation — this replaces the
-    reference's per-window counting sort + bucket accumulation kernels;
-  * the point-scan is a multi-level lax.scan (chunked prefix sums) so the
-    compiled body is a single xyzz add, ~2n adds of work per scan;
-  * weighted bucket reduction sum_b b*B_b via two more point-scans over the
-    bucket axis;
-  * final ~16-point window fold on host (like the reference's CPU
-    `msmcollect.cpp`).
+XLA/Pallas-first redesign with NO sequential scans and NO data-dependent
+shapes:
+
+  * window digits = the scalar's 16-bit limbs (or 8/4-bit splits);
+  * per window: argsort points by digit — every bucket becomes a contiguous
+    run of the sorted order; ONE gather places the run contents into a
+    static (B, C) slot grid (C = static per-bucket capacity, sized so the
+    overflow probability for field-pseudorandom scalars is ~e^-50; actual
+    overflow is *detected* and reported so callers can retry with a larger
+    capacity — never silent);
+  * bucket sums: log-depth pairwise tree over the capacity axis (first
+    level = fused affine+affine Pallas kernel, then xyzz+xyzz);
+  * weighted reduction  sum_b b*B_b  via a 2-level digit split (row/col
+    tree sums + short Hillis-Steele suffix scans) — O(B) adds, log depth;
+  * per-window points -> one batched affine conversion -> tiny D2H -> host
+    window fold (like the reference's CPU `msmcollect.cpp`).
+
+The whole per-window pipeline runs as ONE jitted lax.scan over windows.
 """
+
+import math
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 from ..fields import mont
 from ..fields.mont import FR, FQ, U32
 from ..curve import g1
 from ..ref.curve import g1_add as host_g1_add, g1_double as host_g1_double
 
-WINDOW_BITS = 16  # production default (digits == 16-bit scalar limbs)
-SCAN_CHUNK = 128
+WINDOW_BITS = 16
 
 
-def _stack(p_list):
-    return {k: jnp.stack([p[k] for p in p_list]) for k in p_list[0]}
+def auto_window_bits(n):
+    if n >= (1 << 19):
+        return 16
+    if n >= (1 << 9):
+        return 8
+    return 4
 
 
-def point_scan(pts, chunk=SCAN_CHUNK):
-    """Inclusive prefix scan of xyzz points along axis 0 (length n).
-    Multi-level chunked scan: one tiny lax.scan body per level."""
-    n = pts["X"].shape[0]
-    if n == 1:
-        return pts
-    if n <= chunk:
-        def body(carry, x):
-            nxt = g1.xyzz_add(carry, x)
-            return nxt, nxt
-        zero = {k: v[0] * 0 for k, v in pts.items()}
-        _, ys = jax.lax.scan(body, zero, pts)
-        return ys
-    pad = (-n) % chunk
-    if pad:
-        padded = {k: jnp.concatenate(
-            [v, jnp.zeros((pad,) + v.shape[1:], dtype=v.dtype)], axis=0)
-            for k, v in pts.items()}
-    else:
-        padded = pts
-    m = (n + pad) // chunk
-    # view as (m, chunk) -> scan over the chunk axis with batch m
-    arranged = {k: v.reshape(m, chunk, *v.shape[1:]).swapaxes(0, 1)
-                for k, v in padded.items()}
-
-    def body(carry, x):
-        nxt = g1.xyzz_add(carry, x)
-        return nxt, nxt
-
-    zero = {k: jnp.zeros((m,) + v.shape[2:], dtype=v.dtype)
-            for k, v in arranged.items()}
-    _, intra = jax.lax.scan(body, zero, arranged)  # (chunk, m, ...)
-    chunk_totals = {k: v[-1] for k, v in intra.items()}  # (m, ...)
-    chunk_prefix = point_scan(chunk_totals, chunk)
-    # exclusive shift
-    excl = {k: jnp.concatenate(
-        [jnp.zeros((1,) + v.shape[1:], dtype=v.dtype), v[:-1]], axis=0)
-        for k, v in chunk_prefix.items()}
-    combined = g1.xyzz_add(
-        {k: jnp.broadcast_to(v[None], intra[k].shape) for k, v in excl.items()},
-        intra)
-    out = {k: v.swapaxes(0, 1).reshape((n + pad,) + v.shape[2:])
-           for k, v in combined.items()}
-    return {k: v[:n] for k, v in out.items()}
+def bucket_capacity(n, window_bits):
+    """Static per-bucket slot count: mu + 8*sqrt(mu) + 16 (Poisson tail
+    ~e^-50 for random digits), rounded up to a multiple of 8."""
+    B = 1 << window_bits
+    mu = max(1.0, n / B)
+    c = int(math.ceil(mu + 8.0 * math.sqrt(mu) + 16.0))
+    c = min(n, c)
+    return -(-c // 8) * 8
 
 
 def limbs16_to_digits(raw_limbs, window_bits):
-    """(n, 16) 16-bit limbs -> (n, num_windows) digits of `window_bits` bits.
-    window_bits must divide 16."""
+    """(16, n) 16-bit limbs -> (num_windows, n) digits of `window_bits`
+    bits. window_bits must divide 16."""
     assert 16 % window_bits == 0
     if window_bits == 16:
         return raw_limbs
     per = 16 // window_bits
     mask = np.uint32((1 << window_bits) - 1)
-    parts = [(raw_limbs >> (window_bits * i)) & mask for i in range(per)]
-    return jnp.stack(parts, axis=-1).reshape(raw_limbs.shape[0], -1)
+    parts = [(raw_limbs >> np.uint32(window_bits * i)) & mask
+             for i in range(per)]
+    # window order: limb 0 low bits first
+    stacked = jnp.stack(parts, axis=1)          # (16, per, n)
+    return stacked.reshape(-1, raw_limbs.shape[1])
 
 
-@partial(jax.jit, static_argnums=(4,))
-def msm_window(x_mont, y_mont, inf_mask, digits_w, window_bits):
-    """One Pippenger window -> single xyzz point (dict of (L,) arrays)."""
+def _tree_sum_last(p):
+    """xyzz dict (L, ..., m) -> (L, ...): log-depth pairwise sum; first
+    input level must already be xyzz."""
+    return g1.xyzz_tree_sum(p)
+
+
+def _suffix_weighted_small(S):
+    """S: xyzz (L, B) with B small (<= 512). Returns sum_{b>=1} b * S_b.
+    Hillis-Steele inclusive suffix scan + tree sum of suffixes. Both are
+    fori_loops over stride-doubling steps so the compiled graph holds one
+    xyzz_add each (XLA compile stays O(1) in B)."""
+    B = S["X"].shape[-1]
+    rev = {k: v[..., ::-1] for k, v in S.items()}   # b = B-1 .. 0
+    idx = jnp.arange(B)
+
+    def body(i, acc):
+        d = jnp.left_shift(jnp.int32(1), i)
+        shifted = {k: jnp.where(idx >= d, jnp.roll(v, d, axis=-1),
+                                jnp.zeros_like(v)) for k, v in acc.items()}
+        return g1.xyzz_add(acc, shifted)
+
+    rev = jax.lax.fori_loop(0, (B - 1).bit_length(), body, rev)
+    # rev[k] = suffix_{B-1-k}; want sum over suffix_j for j = 1..B-1
+    return _tree_sum_last({k: v[..., :B - 1] for k, v in rev.items()})
+
+
+def _double_k(p, k):
+    for _ in range(k):
+        p = g1.xyzz_double(p)
+    return p
+
+
+def weighted_bucket_fold(S):
+    """sum_b b * S_b over the last axis of an xyzz dict (L, B). For large B
+    splits b = b2*256 + b1: = 256 * sum b2*R_b2 + sum b1*C_b1."""
+    B = S["X"].shape[-1]
+    if B <= 512:
+        return _suffix_weighted_small(S)
+    B1 = 256
+    B2 = B // B1
+    G = {k: v.reshape(v.shape[:-1] + (B2, B1)) for k, v in S.items()}
+    rows = _tree_sum_last(G)                                   # (L, B2)
+    cols = _tree_sum_last({k: jnp.swapaxes(v, -1, -2) for k, v in G.items()})
+    hi = _suffix_weighted_small(rows)
+    lo = _suffix_weighted_small(cols)
+    return g1.xyzz_add(_double_k(hi, 8), lo)
+
+
+def msm_window_grid(x_mont, y_mont, digits_w, window_bits, capacity):
+    """One Pippenger window. x/y (L, n) Montgomery affine with (0,0)
+    identity; digits_w (n,) u32. Returns (xyzz point dict of (L,) arrays,
+    overflow count)."""
     n = digits_w.shape[0]
     B = 1 << window_bits
+    C = capacity
     order = jnp.argsort(digits_w)
-    d_sorted = jnp.take(digits_w, order)
-    pts = g1.xyzz_from_affine(
-        jnp.take(x_mont, order, axis=0), jnp.take(y_mont, order, axis=0),
-        jnp.take(inf_mask, order))
-    # digit-0 points contribute nothing
-    pts = g1.xyzz_select(d_sorted == 0, g1.xyzz_zero((n,)), pts)
+    d_s = jnp.take(digits_w, order)
+    bounds = jnp.searchsorted(d_s, jnp.arange(B + 1, dtype=U32)).astype(
+        jnp.int32)
+    starts = bounds[:B]
+    ends = bounds[1:]
+    slot = starts[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]  # (B, C)
+    valid = slot < ends[:, None]
+    valid = valid & (jnp.arange(B, dtype=U32) > 0)[:, None]
+    src = jnp.take(order, jnp.clip(slot, 0, n - 1).reshape(-1))
+    gx = jnp.take(x_mont, src, axis=1).reshape(FQ.L, B, C)
+    gy = jnp.take(y_mont, src, axis=1).reshape(FQ.L, B, C)
+    vm = valid[None]
+    gx = jnp.where(vm, gx, jnp.zeros_like(gx))
+    gy = jnp.where(vm, gy, jnp.zeros_like(gy))
 
-    scan = point_scan(pts)
-    # prepend identity so index arithmetic is uniform
-    scan_p = {k: jnp.concatenate(
-        [jnp.zeros((1,) + v.shape[1:], dtype=v.dtype), v], axis=0)
-        for k, v in scan.items()}
-    bounds = jnp.searchsorted(d_sorted, jnp.arange(B + 1, dtype=U32))
-    hi = g1.xyzz_index(scan_p, bounds[1:])     # S[end_b - 1]
-    lo = g1.xyzz_index(scan_p, bounds[:-1])    # S[start_b - 1]
-    buckets = g1.xyzz_add(hi, g1.xyzz_neg(lo))  # (B,) bucket sums
+    # overflow: real (nonzero-digit) bucket members beyond capacity
+    over = jnp.maximum(ends - starts - C, 0)
+    overflow = jnp.sum(jnp.where(jnp.arange(B) > 0, over, 0))
 
-    # weighted reduction: sum_{b>=1} b*B_b = sum_j suffix_j
-    rev = {k: v[1:][::-1] for k, v in buckets.items()}  # b = B-1 .. 1
-    suffix = point_scan(rev)
-    total_scan = point_scan(suffix)
-    return {k: v[-1] for k, v in total_scan.items()}
+    # tree reduce capacity axis: first level affine+affine
+    if C > 1:
+        p = g1.xyzz_add_affine2(gx[..., 0::2], gy[..., 0::2],
+                                gx[..., 1::2], gy[..., 1::2])
+        p = _tree_sum_last(p)
+    else:
+        p = g1.xyzz_from_affine(gx[..., 0], gy[..., 0])
+    # p: (L, B) bucket sums
+    w = weighted_bucket_fold(p)
+    return w, overflow
 
 
-def msm_device(points_dev, raw_scalar_limbs, window_bits=WINDOW_BITS):
-    """points_dev = (x_mont, y_mont, inf_mask); raw_scalar_limbs (n, 16)
-    uint32 16-bit limbs of canonical scalars. Returns affine Python point."""
-    x_mont, y_mont, inf_mask = points_dev
+def _msm_jit_body(x_mont, y_mont, digits, window_bits, capacity):
+    """lax.scan over windows; returns (stacked window xyzz (W,L) dict,
+    (W,) overflow)."""
+    def body(carry, d_w):
+        pt, over = msm_window_grid(x_mont, y_mont, d_w, window_bits,
+                                   capacity)
+        return carry, (pt, over)
+
+    _, (pts, over) = jax.lax.scan(body, 0, digits)
+    return pts, over
+
+
+_msm_jit = jax.jit(_msm_jit_body, static_argnums=(3, 4))
+
+
+def msm_window_points(points_dev, raw_scalar_limbs, window_bits=None,
+                      capacity=None):
+    """Run all windows on device; returns (affine (x (L,W), y (L,W)) device
+    arrays, window_bits). Raises on capacity overflow after retrying with
+    doubled capacity."""
+    x_mont, y_mont = points_dev[0], points_dev[1]
+    n = x_mont.shape[1]
+    if window_bits is None:
+        window_bits = auto_window_bits(n)
     digits = limbs16_to_digits(raw_scalar_limbs, window_bits)
-    num_windows = digits.shape[1]
-    window_points = []
-    for w in range(num_windows):
-        wp = msm_window(x_mont, y_mont, inf_mask, digits[:, w], window_bits)
-        window_points.append(wp)
-    batch = _stack(window_points)
-    affine = g1.xyzz_to_affine_host(batch)
+    cap = capacity or bucket_capacity(n, window_bits)
+    while True:
+        pts, over = _msm_jit(x_mont, y_mont, digits, window_bits, cap)
+        total_over = int(np.asarray(over).sum())
+        if total_over == 0:
+            break
+        if cap >= n:
+            raise RuntimeError("msm bucket capacity overflow at cap=n")
+        cap = min(n, cap * 2)
+    # scan stacked along leading axis: (W, L) -> (L, W)
+    ptsT = {k: jnp.swapaxes(v, 0, 1) for k, v in pts.items()}
+    ax, ay = g1.xyzz_to_affine_device(ptsT)
+    return (ax, ay), window_bits
+
+
+def msm_device(points_dev, raw_scalar_limbs, window_bits=None,
+               capacity=None):
+    """points_dev = (x_mont, y_mont[, inf_mask]) with identity == (0,0);
+    raw_scalar_limbs (16, n) uint32 16-bit limbs of canonical scalars.
+    Returns affine Python point (or None). Host does the final
+    ~W-point window fold (reference `msmcollect.cpp`)."""
+    (ax, ay), wb = msm_window_points(points_dev, raw_scalar_limbs,
+                                     window_bits, capacity)
+    xs = FQ.from_mont_host(np.asarray(ax))
+    ys = FQ.from_mont_host(np.asarray(ay))
     acc = None
-    for wp in reversed(affine):  # most-significant window first
-        for _ in range(window_bits):
+    for wx, wy in zip(reversed(xs), reversed(ys)):   # MSB window first
+        for _ in range(wb):
             acc = host_g1_double(acc)
+        wp = None if (wx == 0 and wy == 0) else (wx, wy)
         acc = host_g1_add(acc, wp)
     return acc
 
 
-def msm(points, scalars_ints, window_bits=WINDOW_BITS):
+def msm(points, scalars_ints, window_bits=None):
     """Convenience: host points/scalars -> MSM result."""
     from ..fields.limb import ints_to_limbs
     from ..curve.g1 import affine_points_to_device
     dev = affine_points_to_device(points)
     digits = jnp.asarray(ints_to_limbs(
-        [s % (1 << 256) for s in scalars_ints], 16))
+        [s % (1 << 256) for s in scalars_ints], 16).T.copy())
     return msm_device(dev, digits, window_bits)

@@ -5,10 +5,12 @@ scaling here is TPU-native:
   * four-step NTT: rows sharded over the mesh, local column NTTs, twiddle,
     `all_to_all` transpose over ICI, local row NTTs — the sequence-parallel
     analog of the domain dimension;
-  * MSM: points sharded (data parallel), per-device scan-Pippenger window
+  * MSM: points sharded (data parallel), per-device grid-Pippenger window
     partials, xyzz-add combine via `all_gather` (EC addition is not a psum,
-    so partial points are gathered and folded locally);
+    so partial points are gathered and tree-folded locally);
   * witness synthesis: embarrassingly data-parallel batched Poseidon.
+
+All tensors are limbs-leading (L, ...); the sharded axis is a batch axis.
 """
 
 from functools import partial
@@ -35,97 +37,92 @@ def make_mesh(n_devices=None, axis="shard"):
 
 
 # ---------------------------------------------------------------------------
-# four-step NTT
+# four-step NTT (sequence-parallel over the domain)
 # ---------------------------------------------------------------------------
 
 class FourStepPlan:
-    """n = n1 * n2; input x[i1 + n1*i2] laid out as rows i1 (sharded).
-    Output R[k1][k2] = X[k2 + n2*k1] returned as a (n1, n2, L) array
-    sharded on k... (row-major by k1)."""
+    """n = n1 * n2; input x[i1 + n1*i2] laid out as (L, n1, n2) rows i1
+    (sharded on axis 1). Output R[k1][k2] = X[k2 + n2*k1] as (L, n1, n2)
+    sharded on k2."""
 
     def __init__(self, log_n1, log_n2):
-        from ..ref.field import root_of_unity
         self.log_n1, self.log_n2 = log_n1, log_n2
         self.n1, self.n2 = 1 << log_n1, 1 << log_n2
+        from ..ref.field import root_of_unity
         n = self.n1 * self.n2
         omega = root_of_unity(log_n1 + log_n2)
         omega_inv = pow(omega, -1, M)
-
-        def table(w):
-            rows = []
-            for i1 in range(self.n1):
-                wi = pow(w, i1, M)
-                acc = 1
-                row = []
-                for _ in range(self.n2):
-                    row.append(acc)
-                    acc = acc * wi % M
-                rows.append(FR.to_mont_host(row))
-            return jnp.asarray(np.stack(rows))
-
-        self.twiddle = table(omega)          # w^(i1*k2): (n1, n2, L)
-        self.twiddle_inv = table(omega_inv)
+        pows = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(omega)), n)
+        ipows = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(omega_inv)), n)
+        idx = ((np.arange(self.n1, dtype=np.int64)[:, None]
+                * np.arange(self.n2, dtype=np.int64)[None, :]) % n)
+        idxd = jnp.asarray(idx.astype(np.int32).reshape(-1))
+        self.twiddle = jnp.take(pows, idxd, axis=1).reshape(
+            FR.L, self.n1, self.n2)
+        self.twiddle_inv = jnp.take(ipows, idxd, axis=1).reshape(
+            FR.L, self.n1, self.n2)
         self.plan1 = jntt.get_plan(log_n1)
         self.plan2 = jntt.get_plan(log_n2)
 
 
+def _local_ntt(plan, v, invert=False):
+    """Transform over the LAST axis of (L, ..., m)."""
+    sp = plan.stage_inv_pows if invert else plan.stage_pows
+    out = jntt._core(v, plan.bitrev, sp)
+    if invert:
+        out = mont.mont_mul(FR, out, plan.n_inv[:, None, None])
+    return out
+
+
 def four_step_ntt(fsp: FourStepPlan, mesh: Mesh, x_rows, axis="shard"):
-    """x_rows: (n1, n2, L) device array (x[i1 + n1*i2] at [i1, i2]),
-    sharded on axis 0. Returns (n1, n2, L) R with R[k1, k2] = X[k2 + n2*k1],
-    sharded on axis 0."""
-    D = mesh.shape[axis]
+    """x_rows: (L, n1, n2) device array (x[i1 + n1*i2] at [:, i1, i2]),
+    sharded on axis 1. Returns (L, n1, n2) R with R[:, k1, k2] =
+    X[k2 + n2*k1], sharded on axis 2."""
     tw = fsp.twiddle
 
     def step(local_rows, local_tw):
         # 1. length-n2 NTT along each local row (root w^n1 == canonical n2)
-        b = jax.vmap(lambda v: jntt.ntt(fsp.plan2, v))(local_rows)
+        b = _local_ntt(fsp.plan2, local_rows)
         # 2. twiddle
         c = mont.mont_mul(FR, b, local_tw)
-        # 3. transpose across devices: (n1/D, n2, L) -> (n1, n2/D, L)
-        t = jax.lax.all_to_all(c, axis, split_axis=1, concat_axis=0,
+        # 3. transpose across devices: (L, n1/D, n2) -> (L, n1, n2/D)
+        t = jax.lax.all_to_all(c, axis, split_axis=2, concat_axis=1,
                                tiled=True)
         # 4. length-n1 NTT along i1 for each local k2 column
-        t = jnp.swapaxes(t, 0, 1)                   # (n2/D, n1, L)
-        r = jax.vmap(lambda v: jntt.ntt(fsp.plan1, v))(t)
-        # local result r[k2_local, k1] -> emit as (n1, n2/D, L) rows k1
-        return jnp.swapaxes(r, 0, 1)                # (n1, n2/D, L)
+        t = jnp.swapaxes(t, 1, 2)                   # (L, n2/D, n1)
+        r = _local_ntt(fsp.plan1, t)
+        # local result r[:, k2_local, k1] -> emit as (L, n1, n2/D)
+        return jnp.swapaxes(r, 1, 2)
 
     f = jax.shard_map(step, mesh=mesh,
-                      in_specs=(P(axis), P(axis)),
-                      out_specs=P(None, axis))
+                      in_specs=(P(None, axis), P(None, axis)),
+                      out_specs=P(None, None, axis))
     return f(x_rows, tw)
 
 
-def four_step_intt_natural(fsp: FourStepPlan, mesh: Mesh, evals, axis="shard"):
+def four_step_intt_natural(fsp: FourStepPlan, mesh: Mesh, evals,
+                           axis="shard"):
     """Sharded inverse transform with NATURAL-order input and output:
-    evals (n, L) natural -> coeffs (n, L) natural (output flat index equals
-    the coefficient index, so downstream MSMs consume it directly).
-
-    Internally: reshape to the (i1, i2) row layout, run the four-step with
-    inverse twiddles and inverse sub-NTTs (the two 1/n_i factors compose to
-    the 1/n scale), transpose back."""
+    evals (L, n) natural -> coeffs (L, n) natural (output flat index equals
+    the coefficient index, so downstream MSMs consume it directly)."""
     n = fsp.n1 * fsp.n2
-    L = evals.shape[-1]
-    rows = jnp.swapaxes(evals.reshape(fsp.n2, fsp.n1, L), 0, 1)
-
-    def _sub_intt(plan, v):
-        out = jntt._core_jit(v, plan.bitrev, plan.inv_pows)
-        return mont.mont_mul(FR, out, plan.n_inv)
+    L = evals.shape[0]
+    rows = jnp.swapaxes(evals.reshape(L, fsp.n2, fsp.n1), 1, 2)
 
     def step(local_rows, local_tw):
-        b = jax.vmap(lambda v: _sub_intt(fsp.plan2, v))(local_rows)
+        b = _local_ntt(fsp.plan2, local_rows, invert=True)
         c = mont.mont_mul(FR, b, local_tw)
-        t = jax.lax.all_to_all(c, axis, split_axis=1, concat_axis=0,
+        t = jax.lax.all_to_all(c, axis, split_axis=2, concat_axis=1,
                                tiled=True)
-        t = jnp.swapaxes(t, 0, 1)
-        r = jax.vmap(lambda v: _sub_intt(fsp.plan1, v))(t)
-        return jnp.swapaxes(r, 0, 1)
+        t = jnp.swapaxes(t, 1, 2)
+        r = _local_ntt(fsp.plan1, t, invert=True)
+        return jnp.swapaxes(r, 1, 2)
 
     f = jax.shard_map(step, mesh=mesh,
-                      in_specs=(P(axis), P(axis)),
-                      out_specs=P(None, axis))
-    out_rows = f(rows, fsp.twiddle_inv)          # R[k1, k2] = X[k2 + n2 k1]
-    return out_rows.reshape(n, L)
+                      in_specs=(P(None, axis), P(None, axis)),
+                      out_specs=P(None, None, axis))
+    out_rows = f(rows, fsp.twiddle_inv)      # out[:, k1, k2] = x[k2 + n2*k1]
+    return out_rows.reshape(L, n)
 
 
 def reference_four_step_check(fsp: FourStepPlan, coeffs):
@@ -148,51 +145,39 @@ def reference_four_step_check(fsp: FourStepPlan, coeffs):
 # sharded MSM
 # ---------------------------------------------------------------------------
 
-def sharded_msm_window_partials(mesh, x_mont, y_mont, inf_mask, digits_w,
-                                window_bits, axis="shard"):
-    """Points sharded across devices; returns the window sum as a replicated
-    single xyzz point (each device folds the all-gathered partials)."""
+def sharded_msm_window_partials(mesh, x_mont, y_mont, digits_w,
+                                window_bits, capacity, axis="shard"):
+    """Points sharded across devices (axis 1 of (L, n)); each device runs
+    the grid-Pippenger window on its shard, partial window points are
+    all_gathered and tree-folded. Returns a replicated xyzz point dict."""
 
-    def step(xs, ys, infs, ds):
-        part = jmsm.msm_window(xs, ys, infs, ds, window_bits)
-        gathered = {k: jax.lax.all_gather(v, axis) for k, v in part.items()}
-        D = gathered["X"].shape[0]
-        acc = {k: v[0] for k, v in gathered.items()}
-        for i in range(1, D):
-            acc = g1.xyzz_add(acc, {k: v[i] for k, v in gathered.items()})
-        return acc
+    def step(xs, ys, ds):
+        part, _over = jmsm.msm_window_grid(xs, ys, ds, window_bits, capacity)
+        gathered = {k: jax.lax.all_gather(v, axis, axis=1)
+                    for k, v in part.items()}       # (L, D)
+        return g1.xyzz_tree_sum(gathered)
 
     f = jax.shard_map(step, mesh=mesh,
-                      in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                      in_specs=(P(None, axis), P(None, axis), P(axis)),
                       out_specs=P(), check_vma=False)
-    return f(x_mont, y_mont, inf_mask, digits_w)
+    return f(x_mont, y_mont, digits_w)
 
 
-def sharded_point_sum(mesh, x_mont, y_mont, inf_mask, axis="shard"):
-    """Light TP reduction used by the dryrun: per-device xyzz sum of its
-    point shard (lax.scan), then all_gather + fold. One scan body keeps the
-    compiled graph small."""
+def sharded_point_sum(mesh, x_mont, y_mont, axis="shard"):
+    """TP reduction: per-device xyzz tree-sum of its point shard, then
+    all_gather + tree fold."""
 
-    def step(xs, ys, infs):
-        pts = g1.xyzz_from_affine(xs, ys, infs)
-
-        def body(carry, p):
-            return g1.xyzz_add(carry, p), None
-
-        zero = {k: jnp.zeros_like(v[0]) for k, v in pts.items()}
-        total, _ = jax.lax.scan(body, zero, pts)
-        gathered = {k: jax.lax.all_gather(v, axis) for k, v in total.items()}
-
-        def body2(carry, p):
-            return g1.xyzz_add(carry, p), None
-
-        total_all, _ = jax.lax.scan(body2, zero, gathered)
-        return total_all
+    def step(xs, ys):
+        pts = g1.xyzz_from_affine(xs, ys)
+        total = g1.xyzz_tree_sum(pts)               # (L,)
+        gathered = {k: jax.lax.all_gather(v, axis, axis=1)
+                    for k, v in total.items()}      # (L, D)
+        return g1.xyzz_tree_sum(gathered)
 
     f = jax.shard_map(step, mesh=mesh,
-                      in_specs=(P(axis), P(axis), P(axis)),
+                      in_specs=(P(None, axis), P(None, axis)),
                       out_specs=P(), check_vma=False)
-    return f(x_mont, y_mont, inf_mask)
+    return f(x_mont, y_mont)
 
 
 # ---------------------------------------------------------------------------
@@ -200,9 +185,10 @@ def sharded_point_sum(mesh, x_mont, y_mont, inf_mask, axis="shard"):
 # ---------------------------------------------------------------------------
 
 def sharded_poseidon_hashes(mesh, left, right, axis="shard"):
-    """Batched Poseidon over a sharded batch (pure DP)."""
+    """Batched Poseidon over a sharded batch (pure DP), (L, m) inputs."""
     from ..poseidon.vectorized import hash2_batch
 
     f = jax.shard_map(hash2_batch, mesh=mesh,
-                      in_specs=(P(axis), P(axis)), out_specs=P(axis))
+                      in_specs=(P(None, axis), P(None, axis)),
+                      out_specs=P(None, axis))
     return f(left, right)

@@ -1,13 +1,17 @@
 """TPU prover — the 5-round PLONK pipeline with all O(n) work as device array
-programs (NTT, MSM, scans, widget evaluation), mirroring
-`ref/prover.py` (the executable spec) round-for-round and transcript-byte
--for-byte. Counterpart of the reference's GPU `prove()`
+programs (NTT, MSM, scans, widget evaluation) on limbs-leading (L, n)
+tensors, mirroring `ref/prover.py` (the executable spec) round-for-round and
+transcript-byte-for-byte. Counterpart of the reference's GPU `prove()`
 (`lib/PLONK/src/gen_proof.cuh:10-489`).
 
-Host keeps only O(1)/O(windows) work: Fiat-Shamir hashing, MSM window folds,
-and the plookup combine_split bucketing (O(n) dict pass, like the reference's
-CPU-side pieces; to be devicified later).
-"""
+Host keeps only O(1)/O(windows) work: Fiat-Shamir hashing, MSM window
+folds, and scalar field inversions (64-byte round-trips). Large D2H
+transfers are avoided entirely: the only per-proof pulls are commitments
+(96 B each) and the 26 evaluations (32 B each). The plookup combine_split
+is skipped on-device when the lookup system is degenerate (all-zero table
+and q_lookup — true for the Merkle workload, as the reference hardcodes in
+`gen_proof.cuh:107-115`; here the degenerate path provably equals the spec
+value 0)."""
 
 import os
 import sys
@@ -21,7 +25,7 @@ from ..params import R_MOD, K1, K2, K3
 from ..fields import mont
 from ..fields.mont import FR, U32
 from ..fields.frvec import FV
-from ..fields.limb import ints_to_limbs
+from ..fields.limb import ints_to_limbs, limbs_to_ints
 from ..ops import ntt as jntt
 from ..ops import poly as jpoly
 from ..ops import msm as jmsm
@@ -40,27 +44,25 @@ SELECTOR_NAMES = [
 
 
 def _to_dev(ints):
-    """ints -> device Montgomery limbs; large lists convert on device
-    (host Python modmuls are the reference's witness-synthesis bottleneck)."""
+    """ints -> device (L, n) Montgomery limbs; large lists convert on
+    device."""
     if len(ints) <= 4096:
         return jnp.asarray(FR.to_mont_host(ints))
-    from ..fields.limb import ints_to_limbs
-    raw = jnp.asarray(ints_to_limbs([x % M for x in ints], FR.L))
+    raw = jnp.asarray(ints_to_limbs([x % M for x in ints], FR.L).T.copy())
     return mont.to_mont(FR, raw)
 
 
 def _from_dev(arr):
-    """device Montgomery limbs -> list of ints (demontgomerize on device)."""
-    from ..fields.limb import limbs_to_ints
-    return limbs_to_ints(np.asarray(mont.from_mont(FR, arr)))
+    """device (L, n) Montgomery limbs -> list of ints."""
+    return FR.from_mont_host(np.asarray(mont.from_mont(FR, arr)))
 
 
 class ProverConfig:
-    """msm_backend: 'device' runs the scan-based Pippenger on the accelerator
-    (production); 'host' pulls scalars and uses the Python oracle MSM — used
-    by CPU-mesh tests where the emulated device MSM is the slow part."""
+    """msm_backend: 'device' runs the grid Pippenger on the accelerator
+    (production); 'host' pulls scalars and uses the Python oracle MSM —
+    kept for differential tests of everything-but-MSM."""
 
-    def __init__(self, msm_backend="device", msm_window_bits=16):
+    def __init__(self, msm_backend="device", msm_window_bits=None):
         self.msm_backend = msm_backend
         self.msm_window_bits = msm_window_bits
 
@@ -77,6 +79,8 @@ class DevProverKey:
     """Device-resident prover key (selector/sigma polys + 8n coset evals) —
     everything the GPU keeps/streams in `load_pk` (`load.cu:58-307`)."""
 
+    lookup_degenerate = False
+
     @classmethod
     def from_ref(cls, pk):
         self = cls()
@@ -89,27 +93,33 @@ class DevProverKey:
         self.sigma_evals_n = [_to_dev(v) for v in pk.sigma_evals_n]
         self.linear_8n = _to_dev(pk.linear_8n)
         vh_inv = [pow(v, -1, M) for v in pk.v_h_coset_8n[:8]]
-        self.v_h_inv_8n = _to_dev([vh_inv[i % 8]
-                                   for i in range(8 * pk.n)])
+        self.v_h_inv_8n = _to_dev([vh_inv[i % 8] for i in range(8 * pk.n)])
         self.table_cols = [_to_dev(c) for c in pk.table_columns]
+        self.lookup_degenerate = (
+            all(v == 0 for v in pk.selector_polys.get("q_lookup", []))
+            and all(all(x == 0 for x in c) for c in pk.table_columns))
         return self
+
+    def q_lookup_zero_mask(self, cs, n):
+        col = [x % M for x in cs.q_lookup] + [0] * (n - len(cs.q_lookup))
+        return mont.is_zero(_to_dev(col))
 
 
 def commit(dev_srs: DevSRS, poly_mont, cfg: ProverConfig):
     """KZG commit = MSM(SRS, from_mont(coeffs)) (kzg10.cu `commit`)."""
-    n = poly_mont.shape[0]
+    n = poly_mont.shape[1]
     if cfg.msm_backend == "host":
         from ..ref import kzg as ref_kzg
         ints = FR.from_mont_host(np.asarray(poly_mont))
         return ref_kzg.commit(dev_srs.ref, ints)
-    raw = mont.from_mont(FR, poly_mont)  # 16-bit limbs == window digits
-    pts = tuple(p[:n] for p in dev_srs.points)
+    raw = mont.from_mont(FR, poly_mont)  # (16, n) raw limbs == digit source
+    pts = (dev_srs.points[0][:, :n], dev_srs.points[1][:, :n])
     return jmsm.msm_device(pts, raw, cfg.msm_window_bits)
 
 
 class ProverWitness:
     """Per-proof inputs: wire value columns in evaluation form (device,
-    Montgomery), sparse public inputs, and the q_lookup==0 mask."""
+    Montgomery, (L, n)), sparse public inputs, and the q_lookup==0 mask."""
 
     def __init__(self, wires_dev, public_inputs, q_lookup_zero_mask):
         self.wires_dev = wires_dev
@@ -123,19 +133,22 @@ class ProverWitness:
         for wires in (cs.w_l, cs.w_r, cs.w_o, cs.w_4):
             col = [val[v] for v in wires] + [0] * (n - len(wires))
             wires_dev.append(_to_dev(col))
-        mask = mont.is_zero(dev_pk_q_lookup_evals(cs, n))
+        col = [x % M for x in cs.q_lookup] + [0] * (n - len(cs.q_lookup))
+        mask = mont.is_zero(_to_dev(col))
         return cls(wires_dev, dict(cs.public_inputs), mask)
 
 
 def _phase_timer():
     if os.environ.get("ZPRIZE_PROFILE") != "1":
-        return lambda label: None
+        return lambda label, *arrs: None
     state = {"t": time.time()}
 
-    def mark(label):
-        # a fresh op enqueued now completes only after everything queued
-        # before it on the device stream
-        jax.block_until_ready(jnp.zeros((8,), dtype=U32) + 1)
+    def mark(label, *arrs):
+        # block on REAL phase outputs (a fresh barrier op does NOT drain
+        # the async queue on the axon runtime — round-1 lesson)
+        for a in arrs:
+            if a is not None:
+                np.asarray(jax.tree.leaves(a)[0]).ravel()[:1]
         now = time.time()
         print(f"#   phase {label}: {now - state['t']:.2f}s", file=sys.stderr,
               flush=True)
@@ -163,57 +176,77 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
         t.append_g1(label, c)
 
     # ------------------------------------------------------------- round 2
-    mark("round1 (wires intt + 4 commits)")
+    mark("round1 (wires intt + 4 commits)", wire_polys[3])
     zeta_i = t.challenge_scalar(b"zeta")
     t.append_fr(b"zeta", zeta_i)
     zeta = FV.const(zeta_i)
 
-    tc = [FV(c) for c in dev_pk.table_cols]
-    compressed_t = W.lc4(tc[0], tc[1], tc[2], tc[3], zeta).v
-    table_poly = jntt.intt(plan, compressed_t)
+    degenerate = bool(dev_pk.lookup_degenerate)
+    if degenerate:
+        # all-zero table & q_lookup: f = t = h1 = h2 = 0 identically and
+        # their commitments are the identity point (matches the spec's
+        # combine_split on all-zero multisets; reference shortcut:
+        # gen_proof.cuh:107-115).
+        zero_poly = jnp.zeros((FR.L, n), dtype=U32)
+        compressed_t = zero_poly
+        table_poly = zero_poly
+        f_poly = zero_poly
+        h_1 = zero_poly
+        h_2 = zero_poly
+        h_1_poly = zero_poly
+        h_2_poly = zero_poly
+        f_comm = None
+        h_1_comm = None
+        h_2_comm = None
+    else:
+        tc = [FV(c) for c in dev_pk.table_cols]
+        compressed_t = W.lc4(tc[0], tc[1], tc[2], tc[3], zeta).v
+        table_poly = jntt.intt(plan, compressed_t)
 
-    q_lookup_is_zero = witness.q_lookup_zero_mask
-    t0_bcast = jnp.broadcast_to(compressed_t[0][None], compressed_t.shape)
-    zero_col = jnp.zeros_like(compressed_t)
-    f_cols = [
-        mont.select(q_lookup_is_zero, t0_bcast, wires_dev[0]),
-        mont.select(q_lookup_is_zero, zero_col, wires_dev[1]),
-        mont.select(q_lookup_is_zero, zero_col, wires_dev[2]),
-        mont.select(q_lookup_is_zero, zero_col, wires_dev[3]),
-    ]
-    compressed_f = W.lc4(FV(f_cols[0]), FV(f_cols[1]), FV(f_cols[2]),
-                         FV(f_cols[3]), zeta).v
-    f_poly = jntt.intt(plan, compressed_f)
-    f_comm = commit(dev_srs, f_poly, cfg)
+        q_lookup_is_zero = witness.q_lookup_zero_mask
+        t0_bcast = jnp.broadcast_to(compressed_t[:, :1], compressed_t.shape)
+        zero_col = jnp.zeros_like(compressed_t)
+        f_cols = [
+            mont.select(q_lookup_is_zero, t0_bcast, wires_dev[0]),
+            mont.select(q_lookup_is_zero, zero_col, wires_dev[1]),
+            mont.select(q_lookup_is_zero, zero_col, wires_dev[2]),
+            mont.select(q_lookup_is_zero, zero_col, wires_dev[3]),
+        ]
+        compressed_f = W.lc4(FV(f_cols[0]), FV(f_cols[1]), FV(f_cols[2]),
+                             FV(f_cols[3]), zeta).v
+        f_poly = jntt.intt(plan, compressed_f)
+        f_comm = commit(dev_srs, f_poly, cfg)
+
+        # combine_split on host (order-sensitive bucketing; O(n)) — native
+        # C hash-map over raw 16-bit-limb rows where available
+        raw_t = np.asarray(mont.from_mont(FR, compressed_t)).T.copy()
+        raw_f = np.asarray(mont.from_mont(FR, compressed_f)).T.copy()
+        try:
+            from ..native import combine_split_bytes
+            h1b, h2b = combine_split_bytes(
+                raw_t.astype("<u2").tobytes(), raw_f.astype("<u2").tobytes(),
+                n)
+            h1_raw = np.frombuffer(h1b, "<u2").reshape(n, FR.L).astype(
+                np.uint32)
+            h2_raw = np.frombuffer(h2b, "<u2").reshape(n, FR.L).astype(
+                np.uint32)
+            h_1 = mont.to_mont(FR, jnp.asarray(h1_raw.T.copy()))
+            h_2 = mont.to_mont(FR, jnp.asarray(h2_raw.T.copy()))
+        except Exception:  # toolchain unavailable -> Python oracle path
+            h_1_ints, h_2_ints = combine_split(
+                limbs_to_ints(raw_t), limbs_to_ints(raw_f))
+            h_1 = _to_dev(h_1_ints)
+            h_2 = _to_dev(h_2_ints)
+        h_1_poly = jntt.intt(plan, h_1)
+        h_2_poly = jntt.intt(plan, h_2)
+        h_1_comm = commit(dev_srs, h_1_poly, cfg)
+        h_2_comm = commit(dev_srs, h_2_poly, cfg)
     t.append_g1(b"f", f_comm)
-
-    # combine_split on host (order-sensitive bucketing; O(n)) — native C
-    # hash-map over raw 32-byte rows, no Python bigints in the loop
-    raw_t = np.asarray(mont.from_mont(FR, compressed_t))
-    raw_f = np.asarray(mont.from_mont(FR, compressed_f))
-    try:
-        from ..native import combine_split_bytes
-        h1b, h2b = combine_split_bytes(
-            raw_t.astype("<u2").tobytes(), raw_f.astype("<u2").tobytes(), n)
-        h1_raw = np.frombuffer(h1b, "<u2").reshape(n, FR.L).astype(np.uint32)
-        h2_raw = np.frombuffer(h2b, "<u2").reshape(n, FR.L).astype(np.uint32)
-        h_1 = mont.to_mont(FR, jnp.asarray(h1_raw))
-        h_2 = mont.to_mont(FR, jnp.asarray(h2_raw))
-    except Exception:  # toolchain unavailable -> Python oracle path
-        from ..fields.limb import limbs_to_ints
-        h_1_ints, h_2_ints = combine_split(limbs_to_ints(raw_t),
-                                           limbs_to_ints(raw_f))
-        h_1 = _to_dev(h_1_ints)
-        h_2 = _to_dev(h_2_ints)
-    h_1_poly = jntt.intt(plan, h_1)
-    h_2_poly = jntt.intt(plan, h_2)
-    h_1_comm = commit(dev_srs, h_1_poly, cfg)
-    h_2_comm = commit(dev_srs, h_2_poly, cfg)
     t.append_g1(b"h1", h_1_comm)
     t.append_g1(b"h2", h_2_comm)
 
     # ------------------------------------------------------------- round 3
-    mark("round2 (lookup compress + combine_split + 3 commits)")
+    mark("round2 (lookup compress + combine_split + 3 commits)", h_2_poly)
     beta_i = t.challenge_scalar(b"beta")
     t.append_fr(b"beta", beta_i)
     gamma_i = t.challenge_scalar(b"gamma")
@@ -232,8 +265,12 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     z_comm = commit(dev_srs, z_poly, cfg)
     t.append_g1(b"z", z_comm)
 
+    if degenerate:
+        compressed_f_for_z2 = jnp.zeros((FR.L, n), dtype=U32)
+    else:
+        compressed_f_for_z2 = compressed_f
     z2_evals = compute_lookup_permutation_evals(
-        compressed_f, compressed_t, h_1, h_2, delta_ch, epsilon)
+        compressed_f_for_z2, compressed_t, h_1, h_2, delta_ch, epsilon)
     z_2_poly = jntt.intt(plan, z2_evals)
     z_2_comm = commit(dev_srs, z_2_poly, cfg)
 
@@ -243,7 +280,7 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     pi_poly = jntt.intt(plan, _to_dev(pi_dense))
 
     # ------------------------------------------------------------- round 4
-    mark("round3 (z/z2 grand products + 2 commits)")
+    mark("round3 (z/z2 grand products + 2 commits)", z_2_poly)
     alpha_i = t.challenge_scalar(b"alpha")
     t.append_fr(b"alpha", alpha_i)
     range_i = t.challenge_scalar(b"range separation challenge")
@@ -263,13 +300,13 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
         alpha_i, beta_i, gamma_i, delta_i, epsilon_i, zeta_i,
         range_i, logic_i, fbsm_i, ca_i, lookup_i)
 
-    t_i_polys = [t_coeffs[i * n:(i + 1) * n] for i in range(8)]
+    t_i_polys = [t_coeffs[:, i * n:(i + 1) * n] for i in range(8)]
     t_comms = [commit(dev_srs, p, cfg) for p in t_i_polys]
     for i in range(8):
         t.append_g1(b"t_" + str(i + 1).encode(), t_comms[i])
 
     # ------------------------------------------------------------- round 5
-    mark("round4 (quotient + 8 commits)")
+    mark("round4 (quotient + 8 commits)", t_coeffs)
     z_ch_i = t.challenge_scalar(b"z")
     t.append_fr(b"z", z_ch_i)
 
@@ -298,7 +335,7 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
         t.append_fr(label.encode(), value)
 
     # ------------------------------------------------------------ openings
-    mark("round5 (linearisation + evals)")
+    mark("round5 (linearisation + evals)", lin_poly)
     aw_i = t.challenge_scalar(b"aggregate_witness")
     aw_polys = [lin_poly, dev_pk.sigma_poly[0], dev_pk.sigma_poly[1],
                 dev_pk.sigma_poly[2], f_poly, h_2_poly, table_poly,
@@ -306,13 +343,14 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     aw_opening = open_aggregate_device(dev_srs, aw_polys, z_ch_i, aw_i, cfg)
 
     saw_i = t.challenge_scalar(b"aggregate_witness")
-    omega = jntt.get_plan(log_n).omega
+    omega = plan.omega
     shifted = z_ch_i * omega % M
     saw_polys = [z_poly, wire_polys[0], wire_polys[1], wire_polys[3],
                  h_1_poly, z_2_poly, table_poly]
-    saw_opening = open_aggregate_device(dev_srs, saw_polys, shifted, saw_i, cfg)
+    saw_opening = open_aggregate_device(dev_srs, saw_polys, shifted, saw_i,
+                                        cfg)
 
-    mark("openings (2 aggregates + 2 commits)")
+    mark("openings (2 aggregates + 2 commits)", None)
     return Proof(
         a_comm=w_comms[0], b_comm=w_comms[1], c_comm=w_comms[2],
         d_comm=w_comms[3], z_comm=z_comm, f_comm=f_comm, h_1_comm=h_1_comm,
@@ -325,20 +363,12 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
 # helpers
 # ---------------------------------------------------------------------------
 
-def dev_pk_q_lookup_evals(cs, n):
-    """q_lookup selector in evaluation form (the padded composer column)."""
-    col = [x % M for x in cs.q_lookup] + [0] * (n - len(cs.q_lookup))
-    return _to_dev(col)
-
-
 def compute_permutation_evals(plan, wires_dev, sigma_evals, beta, gamma):
     """Grand-product z(X) evals: ratios + batched inversion + prefix product
     (permutation/mod.cu:44-144 counterpart)."""
-    n = wires_dev[0].shape[0]
-    roots = FV(jpoly.powers(FR, _to_dev([plan.omega])[0], n))
+    n = wires_dev[0].shape[1]
+    roots = FV(jpoly.powers(FR, jnp.asarray(FR.scalar_mont(plan.omega)), n))
     ks = [FV.const(k) for k in (1, K1, K2, K3)]
-    num = FV.one()
-    den = FV.one()
     numv = None
     denv = None
     for w in range(4):
@@ -362,14 +392,15 @@ def compute_lookup_permutation_evals(f, tcol, h1, h2, delta_ch, epsilon):
     t_next = tv.roll(1)
     h1_next = h1v.roll(1)
     num = opd * (epsilon + fv) * (eps_opd + tv + delta_ch * t_next)
-    den = (eps_opd + h1v + h2v * delta_ch) * (eps_opd + h2v + h1_next * delta_ch)
+    den = (eps_opd + h1v + h2v * delta_ch) * \
+        (eps_opd + h2v + h1_next * delta_ch)
     dinv = FV(mont.batch_inv(FR, den.v))
     ratios = (num * dinv).v
     return jpoly.prefix_product(FR, ratios, shift_one=True)
 
 
 def _wrap8(e):
-    return jnp.concatenate([e, e[:8]], axis=0)
+    return jnp.concatenate([e, e[:, :8]], axis=1)
 
 
 def compute_quotient_device(plan, plan8, dev_pk, z_poly, z2_poly, wire_polys,
@@ -384,7 +415,7 @@ def compute_quotient_device(plan, plan8, dev_pk, z_poly, z2_poly, wire_polys,
 
     def lift(p):
         return jnp.concatenate(
-            [p, jnp.zeros((n8 - p.shape[0], FR.L), dtype=U32)], axis=0)
+            [p, jnp.zeros((FR.L, n8 - p.shape[1]), dtype=U32)], axis=1)
 
     def cfft(p):
         return jntt.coset_ntt(plan8, lift(p))
@@ -407,14 +438,16 @@ def compute_quotient_device(plan, plan8, dev_pk, z_poly, z2_poly, wire_polys,
     pi8 = cfft(pi_poly)
 
     sel = {k: FV(v) for k, v in dev_pk.sel_8n.items()}
-    a, b, c, d = FV(wl8[:n8]), FV(wr8[:n8]), FV(wo8), FV(w48[:n8])
-    a_n, b_n, d_n = FV(wl8[8:]), FV(wr8[8:]), FV(w48[8:])
+    a, b = FV(wl8[:, :n8]), FV(wr8[:, :n8])
+    c, d = FV(wo8), FV(w48[:, :n8])
+    a_n, b_n, d_n = FV(wl8[:, 8:]), FV(wr8[:, 8:]), FV(w48[:, 8:])
 
     arith = W.arithmetic_constraint(
         sel["q_arith"], sel["q_m"], sel["q_l"], sel["q_r"], sel["q_o"],
         sel["q_4"], sel["q_c"], sel["q_hl"], sel["q_hr"], sel["q_h4"],
         a, b, c, d)
-    rng = sel["q_range"] * W.range_constraint(FV.const(range_i), a, b, c, d, d_n)
+    rng = sel["q_range"] * W.range_constraint(
+        FV.const(range_i), a, b, c, d, d_n)
     lgc = sel["q_logic"] * W.logic_constraint(
         FV.const(logic_i), a, b, c, d, a_n, b_n, d_n, sel["q_c"])
     fbsm = sel["q_fixed_group_add"] * W.fbsm_constraint(
@@ -428,15 +461,15 @@ def compute_quotient_device(plan, plan8, dev_pk, z_poly, z2_poly, wire_polys,
     perm = W.permutation_quotient_term(
         FV(dev_pk.linear_8n), FV(dev_pk.sigma_8n[0]), FV(dev_pk.sigma_8n[1]),
         FV(dev_pk.sigma_8n[2]), FV(dev_pk.sigma_8n[3]), a, b, c, d,
-        FV(z8[:n8]), FV(z8[8:]), alpha, FV(alpha_sq_l1),
+        FV(z8[:, :n8]), FV(z8[:, 8:]), alpha, FV(alpha_sq_l1),
         FV.const(beta_i), FV.const(gamma_i),
         FV.const(K1), FV.const(K2), FV.const(K3))
 
     lkp = W.lookup_quotient_term(
-        sel["q_lookup"], a, b, c, d, FV(f8), FV(t8[:n8]), FV(t8[8:]),
-        FV(h18[:n8]), FV(h18[8:]), FV(h28), FV(z28[:n8]), FV(z28[8:]),
-        FV(l1_8), FV.const(delta_i), FV.const(epsilon_i), FV.const(zeta_i),
-        FV.const(lookup_i))
+        sel["q_lookup"], a, b, c, d, FV(f8), FV(t8[:, :n8]), FV(t8[:, 8:]),
+        FV(h18[:, :n8]), FV(h18[:, 8:]), FV(h28), FV(z28[:, :n8]),
+        FV(z28[:, 8:]), FV(l1_8), FV.const(delta_i), FV.const(epsilon_i),
+        FV.const(zeta_i), FV.const(lookup_i))
 
     numer = gate + perm + lkp
     quotient = numer * FV(dev_pk.v_h_inv_8n)
@@ -454,13 +487,12 @@ def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
                                  h2_poly, table_poly):
     """linearisation_poly.rs compute() with device evaluations (powers-table
     dot products) and device poly combination (linearisation.cu:73-308)."""
-    from ..params import JUBJUB_A, JUBJUB_D
     n = dev_pk.n
     omega = plan.omega
     shifted_i = z_ch_i * omega % M
 
-    pows_z = jpoly.powers(FR, _to_dev([z_ch_i])[0], n)
-    pows_sz = jpoly.powers(FR, _to_dev([shifted_i])[0], n)
+    pows_z = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(z_ch_i)), n)
+    pows_sz = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(shifted_i)), n)
 
     sp = dev_pk.sel_poly
     at_z = _eval_at(
@@ -473,7 +505,7 @@ def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
         [z_poly, wire_polys[0], wire_polys[1], wire_polys[3], z_2_poly,
          h1_poly, table_poly], pows_sz)
 
-    batch = jnp.stack(at_z + at_sz)
+    batch = jnp.stack(at_z + at_sz, axis=1)    # (L, 26)
     ints = FR.from_mont_host(np.asarray(batch))
     (a_eval, b_eval, c_eval, d_eval, ls_eval, rs_eval, os_eval, q_arith_eval,
      q_lookup_eval, q_c_eval, q_l_eval, q_r_eval, q_hl_eval, q_hr_eval,
@@ -501,7 +533,7 @@ def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
             ("b_next_eval", b_next_eval), ("d_next_eval", d_next_eval),
         ])
 
-    # gate constraints portion (scalar coefficients × selector polys)
+    # gate constraints portion (scalar coefficients x selector polys)
     from ..protocol.widgets import (range_constraint, logic_constraint,
                                     fbsm_constraint, ca_constraint, lc)
 
@@ -581,5 +613,6 @@ def open_aggregate_device(dev_srs, polys, point_i, challenge_i, cfg):
         scaled = FV(p) * FV.const(chi)
         agg = scaled if agg is None else agg + scaled
         chi = chi * challenge_i % M
-    q, _ = jpoly.divide_linear(FR, agg.v, _to_dev([point_i])[0])
+    q, _ = jpoly.divide_linear(FR, agg.v,
+                               jnp.asarray(FR.scalar_mont(point_i)))
     return commit(dev_srs, q, cfg)
