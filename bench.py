@@ -2,10 +2,19 @@
 
 Workload: PLONK proof for a height-H Poseidon Merkle tree (the reference's
 official zprize_bench workload at H=15; BENCH_HEIGHT scales it down while the
-single-chip MSM is being optimized — the vs_baseline figure scales the
+single-chip prover is being optimized — the vs_baseline figure scales the
 reference's 9.3 s by circuit size, see BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Setup (SRS + preprocessing + compile warm-up) is SPLIT from the scored run,
+exactly like the reference excludes pk-clone/setup from its scored loop
+(`Prize 1B/benches/pnp_bench.rs:62-143`):
+
+    python bench.py setup   # build + persist SRS/pk/vk, warm compile caches
+    python bench.py         # scored: load keys, witness + prove + verify
+
+The scored run auto-falls-back to running setup in-process when the caches
+are missing (slow but correct), so a cold driver invocation still lands a
+number. Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -16,11 +25,14 @@ import time
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+ROOT = os.path.dirname(os.path.abspath(__file__))
+if os.environ.get("BENCH_CPU") == "1":      # debug/smoke runs off-chip
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
 
@@ -28,28 +40,28 @@ BASELINE_GEN_PROOF_S = 9.3      # reference README (RTX 6000 Ada), height 15
 BASELINE_LOG_N = 22             # proving domain at height 15
 
 
-def main():
-    height = int(os.environ.get("BENCH_HEIGHT", "6"))
-    window_bits = int(os.environ.get("BENCH_WINDOW_BITS", "8"))
-    verify_proof = os.environ.get("BENCH_VERIFY", "1") == "1"
+def cache_dir(height, window_bits):
+    return os.path.join(ROOT, ".bench_cache", f"h{height}_w{window_bits}")
 
-    from zprize_tpu.params import R_MOD
+
+def build_setup(height, window_bits, run_warmup=True):
+    """SRS + preprocess + persist; optional warm-up prove to populate the
+    persistent compile cache. Mirrors the reference's un-scored setup."""
     from zprize_tpu.merkle.layout import MerkleLayout
     from zprize_tpu.merkle.preprocess import preprocess_layout
     from zprize_tpu.protocol import prover_tpu as tp
+    from zprize_tpu.protocol import keys_io
     from zprize_tpu.protocol.srs import device_srs
     from zprize_tpu.protocol.transcript_protocol import TranscriptProtocol
-    from zprize_tpu.fields.mont import FR
 
-    t_all = time.time()
+    d = cache_dir(height, window_bits)
+    os.makedirs(d, exist_ok=True)
     lay = MerkleLayout(height)
     n = lay.n
-    print(f"# height={height} gates={lay.n_real} n=2^{n.bit_length()-1}",
-          file=sys.stderr)
 
     t0 = time.time()
     pts, srs_lite, tau = device_srs(n + 8)
-    print(f"# srs: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# srs: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     dev_srs = tp.DevSRS.__new__(tp.DevSRS)
     dev_srs.points = pts
@@ -61,26 +73,65 @@ def main():
     t0 = time.time()
     tr = TranscriptProtocol(b"Merkle tree")
     dev_pk, vk = preprocess_layout(lay, dev_srs, tr, cfg)
-    print(f"# preprocess: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"# preprocess: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    keys_io.save_prover_key(dev_pk, os.path.join(d, "pk.npz"))
+    keys_io.save_verifier_key(vk, os.path.join(d, "vk.json"))
+    print(f"# persist keys: {time.time()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    if run_warmup:
+        t0 = time.time()
+        run_proof(height, window_bits, lay=lay, dev_pk=dev_pk, vk=vk,
+                  dev_srs=dev_srs, verify_proof=True, label="warmup")
+        print(f"# warmup prove (incl compiles): {time.time()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+    return lay, dev_pk, vk, dev_srs
+
+
+def load_setup(height, window_bits):
+    from zprize_tpu.merkle.layout import MerkleLayout
+    from zprize_tpu.protocol import prover_tpu as tp
+    from zprize_tpu.protocol import keys_io
+    from zprize_tpu.protocol.srs import device_srs
+
+    d = cache_dir(height, window_bits)
+    if not (os.path.exists(os.path.join(d, "pk.npz"))
+            and os.path.exists(os.path.join(d, "vk.json"))):
+        return None
+    lay = MerkleLayout(height)
+    pts, srs_lite, tau = device_srs(lay.n + 8)   # .srs_cache hit
+    dev_srs = tp.DevSRS.__new__(tp.DevSRS)
+    dev_srs.points = pts
+    dev_srs.ref = srs_lite
+    dev_srs.size = lay.n + 9
+    dev_pk = keys_io.load_prover_key(os.path.join(d, "pk.npz"))
+    vk = keys_io.load_verifier_key(os.path.join(d, "vk.json"))
+    return lay, dev_pk, vk, dev_srs
+
+
+def run_proof(height, window_bits, lay, dev_pk, vk, dev_srs,
+              verify_proof=True, label="scored"):
+    """Witness synthesis + gen_proof (the reference's 'gadget' + 'gen_proof'
+    rows). Returns (witness_s, prove_s) or exits on verify failure."""
+    from zprize_tpu.params import R_MOD
+    from zprize_tpu.protocol import prover_tpu as tp
+    from zprize_tpu.protocol.transcript_protocol import TranscriptProtocol
+    from zprize_tpu.ref.prover import seed_transcript
+    from zprize_tpu.fields.mont import FR
+
+    cfg = tp.ProverConfig(msm_backend="device", msm_window_bits=window_bits)
+    n = lay.n
 
     rng = np.random.default_rng(0)
     leaves_ints = [int.from_bytes(rng.bytes(31), "little")
                    for _ in range(lay.m_leaves)]
     leaves_dev = jnp.asarray(FR.to_mont_host(leaves_ints))
 
-    # warm-up pass: populates the (persistent) compilation cache, exactly
-    # like the reference excludes pk-clone/setup from its scored time
-    if os.environ.get("BENCH_WARMUP", "1") == "1":
-        t0 = time.time()
-        wires, root_val, _ = lay.witness(leaves_dev)
-        w = tp.ProverWitness(wires, {lay.root_gate_pos: (-root_val) % R_MOD},
-                             jnp.ones((n,), dtype=bool))
-        tp.prove_tpu(w, dev_pk, dev_srs, tr.clone(), cfg)
-        print(f"# warmup (incl compiles): {time.time()-t0:.1f}s",
-              file=sys.stderr)
+    tr = TranscriptProtocol(b"Merkle tree")
+    seed_transcript(tr, vk)
 
-    # ---- the timed section: witness synthesis + gen_proof (the
-    # reference's "gadget" + "gen_proof" rows) ----
     t0 = time.time()
     wires, root_val, _ = lay.witness(leaves_dev)
     jax.block_until_ready(wires[0])
@@ -93,21 +144,68 @@ def main():
     t0 = time.time()
     proof = tp.prove_tpu(witness, dev_pk, dev_srs, tr, cfg)
     prove_s = time.time() - t0
-    gen_proof_s = witness_s + prove_s
-    print(f"# witness: {witness_s:.2f}s  prove: {prove_s:.2f}s "
-          f"(total incl setup {time.time()-t_all:.1f}s)", file=sys.stderr)
+    print(f"# [{label}] witness: {witness_s:.2f}s  prove: {prove_s:.2f}s",
+          file=sys.stderr, flush=True)
 
     if verify_proof:
         from zprize_tpu.ref.verifier import verify
-        from zprize_tpu.ref.prover import seed_transcript
         vtr = TranscriptProtocol(b"Merkle tree")
         seed_transcript(vtr, vk)
-        ok = verify(vk, srs_lite, proof, witness.public_inputs, vtr)
-        print(f"# verify: {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+        ok = verify(vk, dev_srs.ref, proof, witness.public_inputs, vtr)
+        print(f"# [{label}] verify: {'PASS' if ok else 'FAIL'}",
+              file=sys.stderr, flush=True)
         if not ok:
             print(json.dumps({"metric": f"gen_proof_height{height}",
                               "value": -1, "unit": "s", "vs_baseline": 0}))
             sys.exit(1)
+    return witness_s, prove_s
+
+
+def main():
+    height = int(os.environ.get("BENCH_HEIGHT", "6"))
+    window_bits = int(os.environ.get("BENCH_WINDOW_BITS", "8"))
+    verify_proof = os.environ.get("BENCH_VERIFY", "1") == "1"
+    setup_only = len(sys.argv) > 1 and sys.argv[1] == "setup"
+
+    from zprize_tpu.merkle.layout import MerkleLayout  # noqa: F401 (early import)
+
+    if setup_only:
+        state = load_setup(height, window_bits)
+        if state is not None:
+            # keys already persisted (resumed setup): only the compile
+            # warm-up is left to do
+            lay, dev_pk, vk, dev_srs = state
+            t0 = time.time()
+            run_proof(height, window_bits, lay=lay, dev_pk=dev_pk, vk=vk,
+                      dev_srs=dev_srs, verify_proof=True, label="warmup")
+            print(f"# warmup prove (incl compiles): {time.time()-t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        else:
+            build_setup(height, window_bits)
+        print(f"# setup complete for h{height} w{window_bits}",
+              file=sys.stderr)
+        return
+
+    state = load_setup(height, window_bits)
+    if state is None:
+        print("# no persisted setup found -> building (unscored)",
+              file=sys.stderr, flush=True)
+        state = build_setup(height, window_bits)
+    lay, dev_pk, vk, dev_srs = state
+    n = lay.n
+    print(f"# height={height} gates={lay.n_real} n=2^{n.bit_length()-1}",
+          file=sys.stderr, flush=True)
+
+    # criterion-style warm-up iteration (pnp_bench.rs warms before the
+    # scored loop): traces/lowers the jitted round programs and hits the
+    # persistent compile cache so the scored run measures execution.
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        run_proof(height, window_bits, lay, dev_pk, vk, dev_srs,
+                  verify_proof=False, label="warmup")
+
+    witness_s, prove_s = run_proof(height, window_bits, lay, dev_pk, vk,
+                                   dev_srs, verify_proof)
+    gen_proof_s = witness_s + prove_s
 
     # reference-style summary table (zprize_bench.rs four-column shape)
     print("# | stage            | seconds |", file=sys.stderr)

@@ -10,8 +10,16 @@ $PY -m pytest tests/test_field.py tests/test_transcript.py \
 $PY -m pytest tests/test_mont_jax.py tests/test_ops_jax.py \
     tests/test_msm_jax.py -q "$@"
 $PY -m pytest tests/test_e2e_ref.py tests/test_serde.py -q "$@"
-$PY -m pytest tests/test_merkle_layout.py tests/test_keys_io.py -q "$@"
+$PY -m pytest tests/test_merkle_layout.py -q -k "not e2e" "$@"
+# EACH full-prove e2e gets its own process: two proves' worth of round-2
+# fused-program compiles in one process deterministically segfault XLA:CPU's
+# backend_compile (jax 0.9.0; cumulative compiler state — each test alone
+# passes, the pair crashes)
+$PY -m pytest tests/test_merkle_layout.py -q -k "e2e and not height4" "$@"
+$PY -m pytest tests/test_merkle_layout.py -q -k "height4_e2e" "$@"
+$PY -m pytest tests/test_keys_io.py -q "$@"
 $PY -m pytest tests/test_fuzz_differential.py -q "$@"
-$PY -m pytest tests/test_prover_tpu.py -q "$@"
+$PY -m pytest tests/test_prover_tpu.py -q -k "not device_msm" "$@"
+$PY -m pytest tests/test_prover_tpu.py -q -k "device_msm" "$@"
 $PY -m pytest tests/test_parallel.py -q "$@"
 echo "ALL BATCHES PASSED"

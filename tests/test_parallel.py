@@ -86,6 +86,49 @@ def test_sharded_point_sum():
 
 
 @needs_8
+def test_meshed_prover_bit_exact(srs_1k):
+    """prove_tpu with cfg.mesh set (pk/witness/SRS n-axes sharded over the
+    8-device mesh, XLA-SPMD-partitioned round programs + sharded MSM) must
+    reproduce the executable spec's proof byte-for-byte — the multi-chip
+    prover differential."""
+    from zprize_tpu.circuit.composer import StandardComposer
+    from zprize_tpu.ref import prover as rp
+    from zprize_tpu.ref.verifier import verify
+    from zprize_tpu.protocol.transcript_protocol import TranscriptProtocol
+    from zprize_tpu.protocol import prover_tpu as tp
+
+    cs = StandardComposer()
+    a = cs.add_input(20)
+    b = cs.add_input(5)
+    cs.arithmetic_gate(q_l=1, q_r=1, w_l=a, w_r=b, q_o=0, w_o=cs.zero_var,
+                       pi=(-25) % R_MOD)
+    e = cs.mul(a, b)
+    cs.constrain_to_constant(e, 100)
+    cs.range_gate(a, 6)
+
+    tr = TranscriptProtocol(b"test")
+    pk, vk = rp.preprocess(cs, srs_1k, tr)
+    proof_ref = rp.prove(cs, pk, srs_1k, tr.clone())
+
+    dev_pk = tp.DevProverKey.from_ref(pk)
+    dev_srs = tp.DevSRS(srs_1k)
+    cfg = tp.ProverConfig(msm_backend="device", msm_window_bits=8,
+                          mesh=pmesh.make_mesh(8))
+    witness = tp.ProverWitness.from_composer(cs, pk.n)
+    proof_mesh = tp.prove_tpu(witness, dev_pk, dev_srs, tr.clone(), cfg)
+
+    assert proof_mesh.a_comm == proof_ref.a_comm
+    assert proof_mesh.t_comms == proof_ref.t_comms
+    assert proof_mesh.evaluations == proof_ref.evaluations
+    assert proof_mesh.aw_opening == proof_ref.aw_opening
+    assert proof_mesh.saw_opening == proof_ref.saw_opening
+
+    vtr = TranscriptProtocol(b"test")
+    rp.seed_transcript(vtr, vk)
+    assert verify(vk, srs_1k, proof_mesh, cs.public_inputs, vtr)
+
+
+@needs_8
 def test_four_step_intt_natural_matches_single_device():
     from zprize_tpu.ops import ntt as jntt
     rng = random.Random(12)

@@ -62,6 +62,31 @@ def test_tpu_prover_bit_exact(srs_1k):
 
 
 @pytest.mark.slow
+def test_tpu_prover_device_msm_bit_exact(srs_1k):
+    """Same differential as above but with msm_backend='device': the
+    production grid-Pippenger commit path (digit extraction, bucket
+    accumulation, window fold, affine conversion) must reproduce the spec
+    proof byte-for-byte."""
+    cs = _build_circuit()
+    tr = TranscriptProtocol(b"test")
+    pk, vk = rp.preprocess(cs, srs_1k, tr)
+
+    proof_ref = rp.prove(cs, pk, srs_1k, tr.clone())
+
+    dev_pk = tp.DevProverKey.from_ref(pk)
+    dev_srs = tp.DevSRS(srs_1k)
+    cfg = tp.ProverConfig(msm_backend="device", msm_window_bits=8)
+    witness = tp.ProverWitness.from_composer(cs, pk.n)
+    proof_tpu = tp.prove_tpu(witness, dev_pk, dev_srs, tr.clone(), cfg)
+
+    _proofs_equal(proof_ref, proof_tpu)
+
+    vtr = TranscriptProtocol(b"test")
+    rp.seed_transcript(vtr, vk)
+    assert verify(vk, srs_1k, proof_tpu, cs.public_inputs, vtr)
+
+
+@pytest.mark.slow
 def test_tpu_prover_lookup_circuit_bit_exact(srs_1k):
     cs = StandardComposer()
     cs.lookup_table.insert_multiple_xor(0, 4)

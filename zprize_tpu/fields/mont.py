@@ -336,21 +336,36 @@ def inv(cfg, a):
     return batch_inv(cfg, a)
 
 
-def batch_inv(cfg, a):
-    """Batched inversion along the batch axes of (L, *batch) via an
-    up/down product tree (~3 muls/element, log-depth) + ONE host
-    inversion of the 64-byte total product. Zeros map to zeros."""
+def _pad_pow2(cfg, flat):
+    """Pad (L, n) to the next power of two with Montgomery ones."""
+    n = flat.shape[1]
+    n_pad = 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
+    if n_pad != n:
+        one = jnp.asarray(cfg.one_mont, dtype=U32)
+        pad = jnp.broadcast_to(one[:, None], (cfg.L, n_pad - n))
+        flat = jnp.concatenate([flat, pad], axis=1)
+    return flat
+
+
+def prod_tree_total(cfg, a):
+    """Product of all elements over the batch axes of (L, *batch) via a
+    log-depth pairwise tree -> (L,). Traceable (jit-safe); no zeros
+    handling."""
+    cur = _pad_pow2(cfg, a.reshape(cfg.L, -1))
+    while cur.shape[1] > 1:
+        cur = mont_mul(cfg, cur[:, 0::2], cur[:, 1::2])
+    return cur[:, 0]
+
+
+def inv_apply(cfg, a, inv_total):
+    """Elementwise inverses of (L, *batch) given the Montgomery inverse of
+    the total product (inv_total (L,), e.g. from a host `pow`). Traceable;
+    the up-tree is rebuilt in-graph (values must match prod_tree_total's).
+    No zeros handling — elements must be units."""
     batch = a.shape[1:]
     flat = a.reshape(cfg.L, -1)
     n = flat.shape[1]
-    one = jnp.asarray(cfg.one_mont, dtype=U32)
-    is_z = jnp.all(flat == 0, axis=0)
-    safe = jnp.where(is_z[None], one[:, None], flat)
-
-    n_pad = 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
-    if n_pad != n:
-        pad = jnp.broadcast_to(one[:, None], (cfg.L, n_pad - n))
-        safe = jnp.concatenate([safe, pad], axis=1)
+    safe = _pad_pow2(cfg, flat)
 
     levels = [safe]
     cur = safe
@@ -358,12 +373,7 @@ def batch_inv(cfg, a):
         cur = mont_mul(cfg, cur[:, 0::2], cur[:, 1::2])
         levels.append(cur)
 
-    total = levels[-1][:, 0]
-    tot_int = cfg.from_mont_host(np.asarray(total)[:, None])[0]
-    inv_int = pow(tot_int, -1, cfg.mod) if tot_int % cfg.mod else 0
-    inv_cur = jnp.asarray(cfg.to_mont_host([inv_int]))  # (L, 1)
-
-    # down-sweep: children inverses from parent inverses
+    inv_cur = inv_total[:, None]
     for lvl in range(len(levels) - 2, -1, -1):
         vals = levels[lvl]
         left = mont_mul(cfg, inv_cur, vals[:, 1::2])
@@ -371,7 +381,27 @@ def batch_inv(cfg, a):
         inv_cur = jnp.stack([left, right], axis=2).reshape(
             cfg.L, vals.shape[1])
 
-    out = inv_cur[:, :n]
+    return inv_cur[:, :n].reshape((cfg.L,) + batch)
+
+
+def batch_inv(cfg, a):
+    """Batched inversion along the batch axes of (L, *batch) via an
+    up/down product tree (~3 muls/element, log-depth) + ONE host
+    inversion of the 64-byte total product. Zeros map to zeros.
+    NOT jit-safe (host round-trip) — inside jit use prod_tree_total +
+    inv_apply around a host inversion."""
+    batch = a.shape[1:]
+    flat = a.reshape(cfg.L, -1)
+    one = jnp.asarray(cfg.one_mont, dtype=U32)
+    is_z = jnp.all(flat == 0, axis=0)
+    safe = jnp.where(is_z[None], one[:, None], flat)
+
+    total = prod_tree_total(cfg, safe)
+    tot_int = cfg.from_mont_host(np.asarray(total)[:, None])[0]
+    inv_int = pow(tot_int, -1, cfg.mod) if tot_int % cfg.mod else 0
+    inv_total = jnp.asarray(cfg.to_mont_host([inv_int]))[:, 0]
+
+    out = inv_apply(cfg, safe, inv_total)
     out = jnp.where(is_z[None], jnp.zeros_like(out), out)
     return out.reshape((cfg.L,) + batch)
 

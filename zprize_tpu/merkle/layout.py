@@ -227,21 +227,27 @@ class MerkleLayout:
         return sigma
 
     def sigma_evals_device(self):
-        """4 device arrays (L, n): K_{slot(target)} * omega^{gate(target)}."""
+        """4 device arrays (L, n): K_{slot(target)} * omega^{gate(target)}.
+        Built on the host CPU backend (one-time setup; avoids per-shape
+        remote compiles) and transferred."""
         plan = jntt.get_plan(self.n.bit_length() - 1)
-        omega_m = jnp.asarray(FR.scalar_mont(plan.omega))
-        roots = jpoly.powers(FR, omega_m, self.n)          # (L, n) mont
-        ks = jnp.asarray(FR.to_mont_host([1, K1, K2, K3]))  # (L, 4)
-        sigma = self.sigma_flat().reshape(self.n, 4)        # per (gate, slot)
-        out = []
-        for slot in range(4):
-            tgt = sigma[:, slot]
-            tgt_gate = jnp.asarray(tgt // 4)
-            tgt_slot = jnp.asarray(tgt % 4)
-            vals = mont.mont_mul(FR, jnp.take(roots, tgt_gate, axis=1),
-                                 jnp.take(ks, tgt_slot, axis=1))
-            out.append(vals)
-        return out
+        sigma = self.sigma_flat().reshape(self.n, 4)       # per (gate, slot)
+
+        def build():
+            omega_m = jnp.asarray(FR.scalar_mont(plan.omega))
+            roots = jpoly.powers(FR, omega_m, self.n)      # (L, n) mont
+            ks = jnp.asarray(FR.to_mont_host([1, K1, K2, K3]))  # (L, 4)
+            out = []
+            for slot in range(4):
+                tgt = sigma[:, slot]
+                tgt_gate = jnp.asarray(tgt // 4)
+                tgt_slot = jnp.asarray(tgt % 4)
+                vals = mont.mont_mul(FR, jnp.take(roots, tgt_gate, axis=1),
+                                     jnp.take(ks, tgt_slot, axis=1))
+                out.append(vals)
+            return out
+
+        return jntt._host_build(build)
 
     # ------------------------------------------------------------------
     # per-proof witness (device)

@@ -1,22 +1,33 @@
-"""Device preprocessing for the Merkle layout: selector/sigma IFFTs, 8n coset
-evals, and KZG commitments straight from the tiled layout arrays — the
-counterpart of `preprocess_shared`/`preprocess_prover`
+"""Device preprocessing for the Merkle layout: selector/sigma IFFTs,
+sub-coset eval tables, and KZG commitments straight from the tiled layout
+arrays — the counterpart of `preprocess_shared`/`preprocess_prover`
 (`plonk-core/src/proof_system/preprocess.rs:162-492`) with the O(n) work on
-device (limbs-leading (L, n) arrays)."""
+device (limbs-leading (L, n) arrays).
+
+The 8n coset tables of the reference become (L, 8, n) sub-coset tables
+(8 shifted n-NTTs per polynomial — the prover never runs an 8n transform;
+see `ops/ntt.py SubcosetTables`)."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from ..params import R_MOD, FR_GENERATOR
+from ..params import R_MOD
 from ..fields import mont
 from ..fields.mont import FR, U32
 from ..ops import ntt as jntt
-from ..protocol.prover_tpu import DevProverKey, DevSRS, ProverConfig, commit
+from ..protocol.prover_tpu import (DevProverKey, DevSRS, ProverConfig,
+                                   commit_batch, _intt_jit)
 from ..ref.prover import VerifierKey, SELECTOR_ORDER, SIGMA_NAMES, \
     seed_transcript
 from .layout import MerkleLayout
 
 M = R_MOD
+
+
+def subcoset_evals(plan, sct, polys):
+    """(L, P, n) coefficient polys -> (L, P, 8, n) sub-coset eval tables."""
+    shifted = mont.mont_mul(FR, polys[:, :, None, :], sct.shift_pows[:, None])
+    return jntt.transform_last(plan, shifted, False)
 
 
 def preprocess_layout(lay: MerkleLayout, dev_srs: DevSRS, transcript,
@@ -25,47 +36,37 @@ def preprocess_layout(lay: MerkleLayout, dev_srs: DevSRS, transcript,
     cfg = cfg or ProverConfig()
     n = lay.n
     log_n = n.bit_length() - 1
-    plan = jntt.get_plan(log_n)
-    plan8 = jntt.get_plan(log_n + 3)
+    plan = jntt.get_plan(log_n).warm()
+    sct = jntt.get_subcoset_tables(log_n)
 
     pk = DevProverKey()
     pk.n = n
     pk.log_n = log_n
 
-    pk.sel_poly = {}
-    for name in SELECTOR_ORDER:
-        evals = jnp.asarray(lay.selector_limbs[name])
-        pk.sel_poly[name] = jntt.intt(plan, evals)
+    sel_evals = jnp.stack(
+        [jnp.asarray(lay.selector_limbs[name]) for name in SELECTOR_ORDER],
+        axis=1)                                             # (L, 15, n)
+    sel_polys = _intt_jit(plan, sel_evals)
+    pk.sel_poly = {name: sel_polys[:, i]
+                   for i, name in enumerate(SELECTOR_ORDER)}
 
     sigma_evals = lay.sigma_evals_device()
     pk.sigma_evals_n = sigma_evals
-    pk.sigma_poly = [jntt.intt(plan, e) for e in sigma_evals]
+    sigma_polys = _intt_jit(plan, jnp.stack(sigma_evals, axis=1))
+    pk.sigma_poly = [sigma_polys[:, i] for i in range(4)]
 
+    all_polys = jnp.concatenate([sel_polys, sigma_polys], axis=1)
+    comms = commit_batch(dev_srs, all_polys, cfg)
     commitments = {}
-    for name in SELECTOR_ORDER:
-        commitments[name] = commit(dev_srs, pk.sel_poly[name], cfg)
-    for name, poly in zip(SIGMA_NAMES, pk.sigma_poly):
-        commitments[name] = commit(dev_srs, poly, cfg)
+    for i, name in enumerate(SELECTOR_ORDER):
+        commitments[name] = comms[i]
+    for i, name in enumerate(SIGMA_NAMES):
+        commitments[name] = comms[len(SELECTOR_ORDER) + i]
 
-    def lift8(p):
-        return jnp.concatenate(
-            [p, jnp.zeros((FR.L, 8 * n - p.shape[1]), dtype=U32)], axis=1)
-
-    pk.sel_8n = {name: jntt.coset_ntt(plan8, lift8(pk.sel_poly[name]))
-                 for name in SELECTOR_ORDER}
-    pk.sigma_8n = [jntt.coset_ntt(plan8, lift8(p)) for p in pk.sigma_poly]
-    pk.linear_8n = jntt.coset_ntt(plan8, lift8(
-        jnp.asarray(FR.to_mont_host([0, 1]))))
-
-    g_n = pow(FR_GENERATOR, n, M)
-    w_n = pow(plan8.omega, n, M)
-    vh = []
-    acc = g_n
-    for _ in range(8):
-        vh.append((acc - 1) % M)
-        acc = acc * w_n % M
-    vh_inv = [pow(v, -1, M) for v in vh]
-    pk.v_h_inv_8n = jnp.tile(jnp.asarray(FR.to_mont_host(vh_inv)), (1, n))
+    subs = subcoset_evals(plan, sct, all_polys)             # (L, 19, 8, n)
+    pk.sel_sub = {name: subs[:, i]
+                  for i, name in enumerate(SELECTOR_ORDER)}
+    pk.sigma_sub = [subs[:, len(SELECTOR_ORDER) + i] for i in range(4)]
 
     # empty lookup table -> 4 all-zero padded columns (MultiSet::pad);
     # q_lookup is identically zero in this circuit, so the lookup system is

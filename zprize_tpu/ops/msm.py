@@ -171,11 +171,11 @@ def _msm_jit_body(x_mont, y_mont, digits, window_bits, capacity):
 _msm_jit = jax.jit(_msm_jit_body, static_argnums=(3, 4))
 
 
-def msm_window_points(points_dev, raw_scalar_limbs, window_bits=None,
-                      capacity=None):
-    """Run all windows on device; returns (affine (x (L,W), y (L,W)) device
-    arrays, window_bits). Raises on capacity overflow after retrying with
-    doubled capacity."""
+def msm_window_xyzz(points_dev, raw_scalar_limbs, window_bits=None,
+                    capacity=None):
+    """Run all windows on device; returns (xyzz dict of (L, W) arrays,
+    window_bits). Raises on capacity overflow after retrying with doubled
+    capacity."""
     x_mont, y_mont = points_dev[0], points_dev[1]
     n = x_mont.shape[1]
     if window_bits is None:
@@ -191,26 +191,32 @@ def msm_window_points(points_dev, raw_scalar_limbs, window_bits=None,
             raise RuntimeError("msm bucket capacity overflow at cap=n")
         cap = min(n, cap * 2)
     # scan stacked along leading axis: (W, L) -> (L, W)
-    ptsT = {k: jnp.swapaxes(v, 0, 1) for k, v in pts.items()}
+    return {k: jnp.swapaxes(v, 0, 1) for k, v in pts.items()}, window_bits
+
+
+def msm_window_points(points_dev, raw_scalar_limbs, window_bits=None,
+                      capacity=None):
+    """As msm_window_xyzz but returns device affine (x (L,W), y (L,W))."""
+    ptsT, wb = msm_window_xyzz(points_dev, raw_scalar_limbs, window_bits,
+                               capacity)
     ax, ay = g1.xyzz_to_affine_device(ptsT)
-    return (ax, ay), window_bits
+    return (ax, ay), wb
 
 
 def msm_device(points_dev, raw_scalar_limbs, window_bits=None,
                capacity=None):
     """points_dev = (x_mont, y_mont[, inf_mask]) with identity == (0,0);
     raw_scalar_limbs (16, n) uint32 16-bit limbs of canonical scalars.
-    Returns affine Python point (or None). Host does the final
-    ~W-point window fold (reference `msmcollect.cpp`)."""
-    (ax, ay), wb = msm_window_points(points_dev, raw_scalar_limbs,
-                                     window_bits, capacity)
-    xs = FQ.from_mont_host(np.asarray(ax))
-    ys = FQ.from_mont_host(np.asarray(ay))
+    Returns affine Python point (or None). The ~W window points are pulled
+    as xyzz (tiny D2H) and folded on host with Python-int arithmetic
+    (reference `msmcollect.cpp`) — no device inversions on this path."""
+    ptsT, wb = msm_window_xyzz(points_dev, raw_scalar_limbs, window_bits,
+                               capacity)
+    wins = g1.xyzz_to_affine_host(ptsT)
     acc = None
-    for wx, wy in zip(reversed(xs), reversed(ys)):   # MSB window first
+    for wp in reversed(wins):                        # MSB window first
         for _ in range(wb):
             acc = host_g1_double(acc)
-        wp = None if (wx == 0 and wy == 0) else (wx, wy)
         acc = host_g1_add(acc, wp)
     return acc
 

@@ -52,15 +52,21 @@ class FourStepPlan:
         n = self.n1 * self.n2
         omega = root_of_unity(log_n1 + log_n2)
         omega_inv = pow(omega, -1, M)
-        pows = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(omega)), n)
-        ipows = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(omega_inv)), n)
-        idx = ((np.arange(self.n1, dtype=np.int64)[:, None]
-                * np.arange(self.n2, dtype=np.int64)[None, :]) % n)
-        idxd = jnp.asarray(idx.astype(np.int32).reshape(-1))
-        self.twiddle = jnp.take(pows, idxd, axis=1).reshape(
-            FR.L, self.n1, self.n2)
-        self.twiddle_inv = jnp.take(ipows, idxd, axis=1).reshape(
-            FR.L, self.n1, self.n2)
+
+        def build():
+            pows = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(omega)), n)
+            ipows = jpoly.powers(
+                FR, jnp.asarray(FR.scalar_mont(omega_inv)), n)
+            idx = ((np.arange(self.n1, dtype=np.int64)[:, None]
+                    * np.arange(self.n2, dtype=np.int64)[None, :]) % n)
+            idxd = jnp.asarray(idx.astype(np.int32).reshape(-1))
+            tw = jnp.take(pows, idxd, axis=1).reshape(
+                FR.L, self.n1, self.n2)
+            tw_inv = jnp.take(ipows, idxd, axis=1).reshape(
+                FR.L, self.n1, self.n2)
+            return (tw, tw_inv)
+
+        self.twiddle, self.twiddle_inv = jntt._host_build(build)
         self.plan1 = jntt.get_plan(log_n1)
         self.plan2 = jntt.get_plan(log_n2)
 

@@ -20,16 +20,14 @@ def save_prover_key(pk: DevProverKey, path: str):
     arrays = {"n": np.asarray([pk.n])}
     for k, v in pk.sel_poly.items():
         arrays[f"sp_{k}"] = np.asarray(v)
-    for k, v in pk.sel_8n.items():
-        arrays[f"s8_{k}"] = np.asarray(v)
+    for k, v in pk.sel_sub.items():
+        arrays[f"ss_{k}"] = np.asarray(v)
     for i, v in enumerate(pk.sigma_poly):
         arrays[f"sigp_{i}"] = np.asarray(v)
-    for i, v in enumerate(pk.sigma_8n):
-        arrays[f"sig8_{i}"] = np.asarray(v)
+    for i, v in enumerate(pk.sigma_sub):
+        arrays[f"sigs_{i}"] = np.asarray(v)
     for i, v in enumerate(pk.sigma_evals_n):
         arrays[f"sige_{i}"] = np.asarray(v)
-    arrays["linear_8n"] = np.asarray(pk.linear_8n)
-    arrays["v_h_inv_8n"] = np.asarray(pk.v_h_inv_8n)
     for i, v in enumerate(pk.table_cols):
         arrays[f"tbl_{i}"] = np.asarray(v)
     np.savez_compressed(path, **arrays)
@@ -41,13 +39,14 @@ def load_prover_key(path: str) -> DevProverKey:
     pk.n = int(z["n"][0])
     pk.log_n = pk.n.bit_length() - 1
     pk.sel_poly = {k: jnp.asarray(z[f"sp_{k}"]) for k in SELECTOR_ORDER}
-    pk.sel_8n = {k: jnp.asarray(z[f"s8_{k}"]) for k in SELECTOR_ORDER}
+    pk.sel_sub = {k: jnp.asarray(z[f"ss_{k}"]) for k in SELECTOR_ORDER}
     pk.sigma_poly = [jnp.asarray(z[f"sigp_{i}"]) for i in range(4)]
-    pk.sigma_8n = [jnp.asarray(z[f"sig8_{i}"]) for i in range(4)]
+    pk.sigma_sub = [jnp.asarray(z[f"sigs_{i}"]) for i in range(4)]
     pk.sigma_evals_n = [jnp.asarray(z[f"sige_{i}"]) for i in range(4)]
-    pk.linear_8n = jnp.asarray(z["linear_8n"])
-    pk.v_h_inv_8n = jnp.asarray(z["v_h_inv_8n"])
     pk.table_cols = [jnp.asarray(z[f"tbl_{i}"]) for i in range(4)]
+    pk.lookup_degenerate = bool(
+        not np.any(z["sp_q_lookup"])
+        and all(not np.any(z[f"tbl_{i}"]) for i in range(4)))
     return pk
 
 

@@ -1,29 +1,37 @@
-"""TPU prover — the 5-round PLONK pipeline with all O(n) work as device array
-programs (NTT, MSM, scans, widget evaluation) on limbs-leading (L, n)
-tensors, mirroring `ref/prover.py` (the executable spec) round-for-round and
+"""TPU prover — the 5-round PLONK pipeline compiled into a handful of fused
+XLA/Pallas programs over limbs-leading (L, n) tensors, mirroring
+`ref/prover.py` (the executable spec) round-for-round and
 transcript-byte-for-byte. Counterpart of the reference's GPU `prove()`
 (`lib/PLONK/src/gen_proof.cuh:10-489`).
 
-Host keeps only O(1)/O(windows) work: Fiat-Shamir hashing, MSM window
-folds, and scalar field inversions (64-byte round-trips). Large D2H
-transfers are avoided entirely: the only per-proof pulls are commitments
-(96 B each) and the 26 evaluations (32 B each). The plookup combine_split
-is skipped on-device when the lookup system is degenerate (all-zero table
-and q_lookup — true for the Merkle workload, as the reference hardcodes in
-`gen_proof.cuh:107-115`; here the degenerate path provably equals the spec
-value 0)."""
+Round-2 architecture:
+  * each prover round runs as one (or two) jitted programs taking the
+    prover key, domain tables (pytrees) and challenge limbs as ARGUMENTS —
+    per-proof host dispatch is ~20 program launches, not hundreds of eager
+    ops (the tunneled runtime costs ~10 ms per dispatch);
+  * the 8n quotient domain is processed as 8 independent n-sized coset
+    sub-problems (see `ops/ntt.py SubcosetTables`): the prover NEVER runs
+    an 8n transform and never stores (L, 8n) selector tables — the
+    TPU-native replacement for the reference's 8n selector streaming
+    (`gen_proof.cuh:277-317`, `quotient.cu:142-376`);
+  * MSM commitments run the grid-Pippenger window scan + an on-device
+    window fold; the host pulls one xyzz point (~400 B) per commitment;
+  * host keeps only O(1) work: Fiat-Shamir, two 64-byte field inversions
+    (grand-product tree totals), and commitment affine conversion.
+"""
 
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..params import R_MOD, K1, K2, K3
+from ..params import R_MOD, K1, K2, K3, JUBJUB_A, JUBJUB_D
 from ..fields import mont
-from ..fields.mont import FR, U32
+from ..fields.mont import FR, FQ, U32
 from ..fields.frvec import FV
 from ..fields.limb import ints_to_limbs, limbs_to_ints
 from ..ops import ntt as jntt
@@ -57,14 +65,52 @@ def _from_dev(arr):
     return FR.from_mont_host(np.asarray(mont.from_mont(FR, arr)))
 
 
+def _scal(x: int):
+    """int -> (L,) Montgomery limbs on device."""
+    return jnp.asarray(FR.scalar_mont(x))
+
+
 class ProverConfig:
     """msm_backend: 'device' runs the grid Pippenger on the accelerator
     (production); 'host' pulls scalars and uses the Python oracle MSM —
-    kept for differential tests of everything-but-MSM."""
+    kept for differential tests of everything-but-MSM.
 
-    def __init__(self, msm_backend="device", msm_window_bits=None):
+    mesh: optional `jax.sharding.Mesh`. When set, prove_tpu places the
+    prover key, witness and SRS tables with their evaluation-domain axis
+    sharded over `mesh_axis` and runs the SAME fused round programs —
+    XLA's SPMD partitioner inserts the ICI collectives (all_to_all for the
+    NTT transposes, all_gather/psum-style combines for reductions). This is
+    the multi-chip prover; the reference is single-GPU (README:59), so
+    scaling over a mesh is this framework's TPU-native addition."""
+
+    def __init__(self, msm_backend="device", msm_window_bits=None,
+                 mesh=None, mesh_axis="shard"):
         self.msm_backend = msm_backend
         self.msm_window_bits = msm_window_bits
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+
+    def shard_last(self, tree):
+        """device_put every (L, ..., m) leaf with the LAST axis sharded
+        over the mesh (replicated if not divisible). No-op without a
+        mesh."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ndev = self.mesh.devices.size
+
+        def place(x):
+            if not hasattr(x, "shape"):
+                return x
+            axes = [None] * x.ndim
+            # shard the trailing (domain) axis of (L, ..., m) tables;
+            # rank-1 leaves ((L,) scalars, index vectors) are replicated
+            if x.ndim >= 2 and x.shape[-1] % ndev == 0:
+                axes[-1] = self.mesh_axis
+            return jax.device_put(
+                x, NamedSharding(self.mesh, P(*axes)))
+
+        return jax.tree.map(place, tree)
 
 
 class DevSRS:
@@ -76,24 +122,31 @@ class DevSRS:
 
 
 class DevProverKey:
-    """Device-resident prover key (selector/sigma polys + 8n coset evals) —
-    everything the GPU keeps/streams in `load_pk` (`load.cu:58-307`)."""
+    """Device-resident prover key: selector/sigma coefficient polys, their
+    n-domain evals, and their 8 sub-coset eval tables (L, 8, n) — the same
+    data the GPU keeps as (8n) coset tables in `load_pk` (`load.cu:58-307`),
+    reorganized sub-coset-major so the quotient round is 8 uniform n-sized
+    passes. Registered as a pytree (jit argument)."""
 
     lookup_degenerate = False
 
     @classmethod
     def from_ref(cls, pk):
+        """Build from the executable-spec ProverKey (int lists). The ref 8n
+        coset tables map to sub-coset tables by m = 8p + j."""
         self = cls()
         self.n = pk.n
         self.log_n = pk.n.bit_length() - 1
+
+        def sub(v8n):
+            a = _to_dev(v8n)                           # (L, 8n) natural
+            return jnp.swapaxes(a.reshape(FR.L, -1, 8), 1, 2)  # (L, 8, n)
+
         self.sel_poly = {k: _to_dev(v) for k, v in pk.selector_polys.items()}
-        self.sel_8n = {k: _to_dev(v) for k, v in pk.selector_8n.items()}
+        self.sel_sub = {k: sub(v) for k, v in pk.selector_8n.items()}
         self.sigma_poly = [_to_dev(v) for v in pk.sigma_polys]
-        self.sigma_8n = [_to_dev(v) for v in pk.sigma_8n]
+        self.sigma_sub = [sub(v) for v in pk.sigma_8n]
         self.sigma_evals_n = [_to_dev(v) for v in pk.sigma_evals_n]
-        self.linear_8n = _to_dev(pk.linear_8n)
-        vh_inv = [pow(v, -1, M) for v in pk.v_h_coset_8n[:8]]
-        self.v_h_inv_8n = _to_dev([vh_inv[i % 8] for i in range(8 * pk.n)])
         self.table_cols = [_to_dev(c) for c in pk.table_columns]
         self.lookup_degenerate = (
             all(v == 0 for v in pk.selector_polys.get("q_lookup", []))
@@ -105,16 +158,174 @@ class DevProverKey:
         return mont.is_zero(_to_dev(col))
 
 
-def commit(dev_srs: DevSRS, poly_mont, cfg: ProverConfig):
-    """KZG commit = MSM(SRS, from_mont(coeffs)) (kzg10.cu `commit`)."""
-    n = poly_mont.shape[1]
+def _pk_flatten(pk):
+    children = (pk.sel_poly, pk.sel_sub, pk.sigma_poly, pk.sigma_sub,
+                pk.sigma_evals_n, pk.table_cols)
+    aux = (pk.n, pk.log_n, pk.lookup_degenerate)
+    return children, aux
+
+
+def _pk_unflatten(aux, children):
+    pk = DevProverKey.__new__(DevProverKey)
+    pk.n, pk.log_n, pk.lookup_degenerate = aux
+    (pk.sel_poly, pk.sel_sub, pk.sigma_poly, pk.sigma_sub,
+     pk.sigma_evals_n, pk.table_cols) = children
+    return pk
+
+
+jax.tree_util.register_pytree_node(DevProverKey, _pk_flatten, _pk_unflatten)
+
+
+# ---------------------------------------------------------------------------
+# commitments
+# ---------------------------------------------------------------------------
+
+def _fold_windows(pts, wb):
+    """xyzz dict (L, ..., W), windows LSB-first -> (L, ...): Horner fold
+    sum_w 2^(wb*w) P_w as a fori_loop (one compiled body)."""
+    Wn = pts["X"].shape[-1]
+    acc = {k: jnp.zeros(v.shape[:-1], v.dtype) for k, v in pts.items()}
+
+    def body(i, acc):
+        w = Wn - 1 - i
+        cur = {k: jax.lax.dynamic_index_in_dim(v, w, axis=-1, keepdims=False)
+               for k, v in pts.items()}
+        for _ in range(wb):
+            acc = jg1.xyzz_double(acc)
+        return jg1.xyzz_add(acc, cur)
+
+    return jax.lax.fori_loop(0, Wn, body, acc)
+
+
+@partial(jax.jit, static_argnames=("wb", "cap"))
+def _commit_batch_jit(srs_x, srs_y, polys, wb, cap):
+    """KZG commit a batch: polys (L, B, n) Montgomery coeffs ->
+    (xyzz dict (L, B), overflow (B*W,)). kzg10.cu `commit` counterpart."""
+    L, B, n = polys.shape
+    raw = mont.from_mont(FR, polys)                   # (16, B, n) raw limbs
+    digits = jmsm.limbs16_to_digits(raw.reshape(16, B * n), wb)
+    Wn = digits.shape[0]
+    # (W, B, n) -> (B, W, n) so each poly's windows are contiguous
+    digits = jnp.swapaxes(digits.reshape(Wn, B, n), 0, 1).reshape(
+        B * Wn, n)
+
+    def body(carry, d_w):
+        pt, over = jmsm.msm_window_grid(srs_x, srs_y, d_w, wb, cap)
+        return carry, (pt, over)
+
+    _, (pts, over) = jax.lax.scan(body, 0, digits)
+    # points are xyzz over Fq (FQ.L limbs, not FR.L)
+    ptsBW = {k: jnp.moveaxis(v.reshape(B, Wn, v.shape[-1]), (0, 1), (1, 2))
+             for k, v in pts.items()}                 # (Lq, B, W)
+    return _fold_windows(ptsBW, wb), over
+
+
+@partial(jax.jit, static_argnames=("wb", "cap", "mesh", "axis"))
+def _commit_batch_mesh_jit(srs_x, srs_y, polys, wb, cap, mesh, axis):
+    """Meshed KZG commit batch: SRS points and scalars sharded over the
+    mesh (data-parallel Pippenger). Each device runs the sort-based window
+    grid on its point shard inside `shard_map` — the grid's argsort must
+    stay device-local (the GSPMD partitioner turns a global sort into a
+    compile-time explosion); window partials are all_gathered over ICI and
+    tree-folded. `cap` is the PER-SHARD bucket capacity."""
+    from jax.sharding import PartitionSpec as P
+    L, B, n = polys.shape
+
+    def step(xs, ys, ps):
+        raw = mont.from_mont(FR, ps)                  # (16, B, nloc)
+        nloc = raw.shape[-1]
+        digits = jmsm.limbs16_to_digits(raw.reshape(16, B * nloc), wb)
+        Wn = digits.shape[0]
+        digits = jnp.swapaxes(digits.reshape(Wn, B, nloc), 0, 1).reshape(
+            B * Wn, nloc)
+
+        def body(carry, d_w):
+            pt, over = jmsm.msm_window_grid(xs, ys, d_w, wb, cap)
+            return carry, (pt, over)
+
+        _, (pts, over) = jax.lax.scan(body, 0, digits)
+        # pts: dict of (B*W, Lq) — limbs to the front before field math
+        ptsT = {k: jnp.swapaxes(v, 0, 1) for k, v in pts.items()}
+        gathered = {k: jax.lax.all_gather(v, axis, axis=2)
+                    for k, v in ptsT.items()}         # (Lq, B*W, D)
+        tot = jg1.xyzz_tree_sum(gathered)             # (Lq, B*W)
+        return tot, jax.lax.psum(over, axis)
+
+    f = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, None, axis)),
+        out_specs=(P(), P()), check_vma=False)
+    tot, over = f(srs_x, srs_y, polys)
+    Wn = tot["X"].shape[1] // B
+    ptsBW = {k: v.reshape(v.shape[0], B, Wn) for k, v in tot.items()}
+    return _fold_windows(ptsBW, wb), over
+
+
+def _xyzz_to_host_points(pts):
+    """xyzz dict (L, B) -> list of B affine int points / None."""
+    return jg1.xyzz_to_affine_host(pts)
+
+
+# Commits are chunked to a canonical batch width so EVERY commit in the
+# proof (B = 4 wires, 3 lookup, 2 grand products, 8 quotient chunks, 2
+# openings) reuses ONE compiled MSM program per n: the Pippenger window
+# grid is by far the most expensive program to lower (~200 s of pure-Python
+# jaxpr->MLIR per shape per process) and to compile; per-B shapes would
+# pay it four times.
+COMMIT_CHUNK = 2
+
+
+def commit_batch(dev_srs, polys, cfg):
+    """Commit (L, B, n) polys -> list of B host affine points."""
+    n = polys.shape[2]
     if cfg.msm_backend == "host":
         from ..ref import kzg as ref_kzg
-        ints = FR.from_mont_host(np.asarray(poly_mont))
-        return ref_kzg.commit(dev_srs.ref, ints)
-    raw = mont.from_mont(FR, poly_mont)  # (16, n) raw limbs == digit source
-    pts = (dev_srs.points[0][:, :n], dev_srs.points[1][:, :n])
-    return jmsm.msm_device(pts, raw, cfg.msm_window_bits)
+        out = []
+        for b in range(polys.shape[1]):
+            ints = FR.from_mont_host(np.asarray(polys[:, b]))
+            out.append(ref_kzg.commit(dev_srs.ref, ints))
+        return out
+    wb = cfg.msm_window_bits or jmsm.auto_window_bits(n)
+    srs_x = dev_srs.points[0][:, :n]
+    srs_y = dev_srs.points[1][:, :n]
+    meshed = cfg.mesh is not None and n % cfg.mesh.devices.size == 0
+    n_local = n // cfg.mesh.devices.size if meshed else n
+    cap = jmsm.bucket_capacity(n_local, wb)
+    if meshed:
+        srs_x, srs_y = cfg.shard_last((srs_x, srs_y))
+
+    B = polys.shape[1]
+    C = COMMIT_CHUNK          # fixed even for B=1: program sharing wins
+    pad = (-B) % C
+    if pad:
+        polys = jnp.concatenate(
+            [polys, jnp.zeros((polys.shape[0], pad, n), dtype=polys.dtype)],
+            axis=1)
+
+    while True:
+        chunks, overs = [], []
+        for i in range(0, B + pad, C):
+            chunk = jax.lax.slice_in_dim(polys, i, i + C, axis=1)
+            if meshed:
+                pts, over = _commit_batch_mesh_jit(
+                    srs_x, srs_y, chunk, wb, cap, cfg.mesh, cfg.mesh_axis)
+            else:
+                pts, over = _commit_batch_jit(srs_x, srs_y, chunk, wb, cap)
+            chunks.append(pts)
+            overs.append(over)
+        if not int(np.asarray(jnp.concatenate(overs)).sum()):
+            break
+        if cap >= n_local:
+            raise RuntimeError("msm bucket capacity overflow at cap=n")
+        cap = min(n_local, cap * 2)
+    pts = {k: jnp.concatenate([c[k] for c in chunks], axis=1)[:, :B]
+           for k in chunks[0]}
+    return _xyzz_to_host_points(pts)
+
+
+def commit(dev_srs, poly_mont, cfg):
+    """Single-poly commit (preprocessing / tests)."""
+    return commit_batch(dev_srs, poly_mont[:, None, :], cfg)[0]
 
 
 class ProverWitness:
@@ -156,38 +367,253 @@ def _phase_timer():
     return mark
 
 
+# ---------------------------------------------------------------------------
+# fused round programs
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _intt_jit(plan, a):
+    return jntt.transform_last(plan, a, True)
+
+
+@jax.jit
+def _z_parts_jit(roots, wires, sigma_evals, f, tcol, h1, h2,
+                 beta, gamma, delta, eps):
+    """Numerators/denominators + total products for the two grand products
+    (permutation/mod.cu:44-144 counterpart)."""
+    betaF, gammaF = FV(beta[:, None]), FV(gamma[:, None])
+    rootsF = FV(roots)
+    ks = [FV.const(k) for k in (1, K1, K2, K3)]
+    numv = denv = None
+    for w in range(4):
+        wv = FV(wires[:, w])
+        sv = FV(sigma_evals[:, w])
+        nterm = wv + betaF * ks[w] * rootsF + gammaF
+        dterm = wv + betaF * sv + gammaF
+        numv = nterm if numv is None else numv * nterm
+        denv = dterm if denv is None else denv * dterm
+
+    one = FV.one()
+    opd = FV(delta[:, None]) + one
+    epsF = FV(eps[:, None])
+    eps_opd = epsF * opd
+    fv, tv = FV(f), FV(tcol)
+    h1v, h2v = FV(h1), FV(h2)
+    deltaF = FV(delta[:, None])
+    t_next = tv.roll(1)
+    h1_next = h1v.roll(1)
+    num2 = opd * (epsF + fv) * (eps_opd + tv + deltaF * t_next)
+    den2 = (eps_opd + h1v + h2v * deltaF) * \
+        (eps_opd + h2v + h1_next * deltaF)
+
+    tot_z = mont.prod_tree_total(FR, denv.v)
+    tot_2 = mont.prod_tree_total(FR, den2.v)
+    return numv.v, denv.v, tot_z, num2.v, den2.v, tot_2
+
+
+@jax.jit
+def _z_finish_jit(plan, num, den, inv_total):
+    """ratios -> shifted prefix product -> INTT (z / z2 polynomial)."""
+    dinv = mont.inv_apply(FR, den, inv_total)
+    ratios = mont.mont_mul(FR, num, dinv)
+    evals = jpoly.prefix_product(FR, ratios, shift_one=True)
+    return jntt.transform_last(plan, evals, True), evals
+
+
+def _sum_axis(a, axis):
+    """Log-depth modular add-reduce along `axis` (any length)."""
+    a = jnp.moveaxis(a, axis, -1)
+    while a.shape[-1] > 1:
+        if a.shape[-1] % 2:
+            a = jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (1,), dtype=a.dtype)], axis=-1)
+        a = mont.add(FR, a[..., 0::2], a[..., 1::2])
+    return a[..., 0]
+
+
+@jax.jit
+def _quotient_jit(plan, sct, pk, wl, wr, wo, w4, z, z2, pi,
+                  f, tcol, h1, h2, ch):
+    """quotient_poly.rs compute() over the 8 sub-cosets at once
+    (quotient.cu:142-376 counterpart). All inputs are coefficient-form
+    (L, n); ch is a dict of (L,) challenge limbs. Returns the 8 quotient
+    chunk polys t_q stacked as (L, 8, n)."""
+    degenerate = pk.lookup_degenerate
+    n = wl.shape[-1]
+    L = FR.L
+    shift = sct.shift_pows                          # (L, 8, n)
+
+    l1c = jnp.broadcast_to(plan.n_inv[:, None], (L, n))
+    polys = [wl, wr, wo, w4, z, z2, pi, l1c]
+    if not degenerate:
+        polys += [f, tcol, h1, h2]
+    st = jnp.stack(polys, axis=1)                   # (L, P, n)
+    shifted = mont.mont_mul(FR, st[:, :, None, :], shift[:, None])
+    E = jntt.transform_last(plan, shifted, False)   # (L, P, 8, n)
+
+    def ev(i):
+        return FV(E[:, i])
+
+    def nxt(i):
+        return FV(jnp.roll(E[:, i], -1, axis=-1))
+
+    def c(name):
+        return FV(ch[name][:, None, None])
+
+    a, b, cw, d = ev(0), ev(1), ev(2), ev(3)
+    a_n, b_n, d_n = nxt(0), nxt(1), nxt(3)
+    zF, z_n = ev(4), nxt(4)
+    z2F, z2_n = ev(5), nxt(5)
+    piF = ev(6)
+    l1F = ev(7)
+
+    sel = {k: FV(v) for k, v in pk.sel_sub.items()}
+    sig = [FV(v) for v in pk.sigma_sub]
+    # linear poly X evals on the sub-cosets: s_j * w^p (separable)
+    xF = FV(mont.mont_mul(FR, shift[:, :, 1:2], sct.roots[:, None, :]))
+
+    arith = W.arithmetic_constraint(
+        sel["q_arith"], sel["q_m"], sel["q_l"], sel["q_r"], sel["q_o"],
+        sel["q_4"], sel["q_c"], sel["q_hl"], sel["q_hr"], sel["q_h4"],
+        a, b, cw, d)
+    rng = sel["q_range"] * W.range_constraint(
+        c("range"), a, b, cw, d, d_n)
+    lgc = sel["q_logic"] * W.logic_constraint(
+        c("logic"), a, b, cw, d, a_n, b_n, d_n, sel["q_c"])
+    fbsm = sel["q_fixed_group_add"] * W.fbsm_constraint(
+        c("fbsm"), a, b, cw, d, a_n, b_n, d_n, sel["q_l"], sel["q_r"],
+        sel["q_c"], FV.const(JUBJUB_A), FV.const(JUBJUB_D))
+    ca = sel["q_variable_group_add"] * W.ca_constraint(
+        c("ca"), a, b, cw, d, a_n, b_n, d_n,
+        FV.const(JUBJUB_A), FV.const(JUBJUB_D))
+    gate = arith + piF + rng + lgc + fbsm + ca
+
+    alpha = c("alpha")
+    l1_alpha_sq = l1F * alpha * alpha
+    perm = W.permutation_quotient_term(
+        xF, sig[0], sig[1], sig[2], sig[3], a, b, cw, d,
+        zF, z_n, alpha, l1_alpha_sq, c("beta"), c("gamma"),
+        FV.const(K1), FV.const(K2), FV.const(K3))
+
+    if degenerate:
+        # f = t = h1 = h2 = 0 identically: the lookup term collapses to
+        # scalar-coefficient combinations of z2, z2_next, l1 and q_lookup
+        # (same algebra as widgets_jax.lookup_quotient_term with zeros).
+        ls = c("lookup")
+        ls2 = ls.sqr()
+        ls3 = ls2 * ls
+        one = FV.one()
+        opd = c("delta") + one
+        epsF = c("epsilon")
+        eps_opd = epsF * opd
+        compressed = W.lc4(a, b, cw, d, c("zeta"))
+        term_a = sel["q_lookup"] * compressed * ls
+        term_b = z2F * (opd * epsF * eps_opd) * ls2
+        term_c = -(z2_n * eps_opd * eps_opd * ls2)
+        term_d = (z2F - one) * l1F * ls3
+        lkp = term_a + term_b + term_c + term_d
+    else:
+        fF = ev(8)
+        tF, t_n = ev(9), nxt(9)
+        h1F, h1_n = ev(10), nxt(10)
+        h2F = ev(11)
+        lkp = W.lookup_quotient_term(
+            sel["q_lookup"], a, b, cw, d, fF, tF, t_n, h1F, h1_n, h2F,
+            z2F, z2_n, l1F, c("delta"), c("epsilon"), c("zeta"),
+            c("lookup"))
+
+    numer = gate + perm + lkp
+    Q = mont.mont_mul(FR, numer.v, sct.vh_inv[:, :, None])
+    Dq = jntt.transform_last(plan, Q, True)         # plain n-INTT per j
+    D = mont.mont_mul(FR, Dq, sct.shift_inv_pows)   # (L, 8, n)
+    # t_{k+nq} = sum_j combine_c[q, j] * D_j[k]
+    prod = mont.mont_mul(FR, D[:, None], sct.combine_c[:, :, :, None])
+    return _sum_axis(prod, 2)                       # (L, 8, n)
+
+
+@jax.jit
+def _eval_at_jit(stack, point):
+    """Evaluate K polys (L, K, n) at one point (L,) -> (L, K)."""
+    n = stack.shape[-1]
+    pows = jpoly.powers(FR, point, n)
+    prods = mont.mont_mul(FR, stack, pows[:, None, :])
+    return _sum_axis(prods, -1)
+
+
+@jax.jit
+def _lincomb_jit(stack, coeffs):
+    """sum_k coeffs[:, k] * stack[:, k, :] -> (L, n)."""
+    prods = mont.mont_mul(FR, stack, coeffs[:, :, None])
+    return _sum_axis(prods, 1)
+
+
+@jax.jit
+def _open_jit(stack, coeffs, point):
+    """chi-aggregation + synthetic division by (X - point)
+    (kzg10.cu:87-146). Returns the witness poly padded back to n coeffs."""
+    agg = _lincomb_jit(stack, coeffs)
+    q, _ = jpoly.divide_linear(FR, agg, point)
+    return jnp.concatenate(
+        [q, jnp.zeros((q.shape[0], 1), dtype=q.dtype)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# the prover
+# ---------------------------------------------------------------------------
+
 def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
               dev_srs: DevSRS, transcript, cfg: ProverConfig = None):
     cfg = cfg or ProverConfig()
     mark = _phase_timer()
     n = dev_pk.n
     log_n = dev_pk.log_n
-    plan = jntt.get_plan(log_n)
-    plan8 = jntt.get_plan(log_n + 3)
+    plan = jntt.get_plan(log_n).warm()
+    sct = jntt.get_subcoset_tables(log_n)
     t = transcript
+
+    if cfg.mesh is not None:
+        # multi-chip: shard every n-length axis over the mesh; the jitted
+        # round programs below compile as SPMD with XLA-inserted collectives
+        dev_pk = cfg.shard_last(dev_pk)
+        sct = cfg.shard_last(sct)
+        plan = cfg.shard_last(plan)
+        sharded_wires = cfg.shard_last(list(witness.wires_dev))
+        pub = witness.public_inputs
+        witness = ProverWitness.__new__(ProverWitness)
+        witness.wires_dev = sharded_wires
+        witness.public_inputs = pub
 
     t.append_pi(b"pi", witness.public_inputs)
 
     # ------------------------------------------------------------- round 1
-    wires_dev = witness.wires_dev
-    wire_polys = [jntt.intt(plan, w) for w in wires_dev]
-    w_comms = [commit(dev_srs, p, cfg) for p in wire_polys]
+    # the sparse-PI dense column rides along as a 5th INTT row: its
+    # coefficients aren't needed until round 4, but batching it here saves
+    # a separate compiled program + dispatch
+    pi_dense = [0] * n
+    for pos, v in witness.public_inputs.items():
+        pi_dense[pos] = v
+    wires5 = jnp.stack(list(witness.wires_dev) + [_to_dev(pi_dense)],
+                       axis=1)
+    wires = wires5[:, :4]                               # (L, 4, n)
+    polys5 = _intt_jit(plan, wires5)                    # (L, 5, n)
+    wire_polys, pi_poly = polys5[:, :4], polys5[:, 4]
+    w_comms = commit_batch(dev_srs, wire_polys, cfg)
     for label, c in zip((b"w_l", b"w_r", b"w_o", b"w_4"), w_comms):
         t.append_g1(label, c)
 
     # ------------------------------------------------------------- round 2
-    mark("round1 (wires intt + 4 commits)", wire_polys[3])
+    mark("round1 (wires intt + 4 commits)", wire_polys)
     zeta_i = t.challenge_scalar(b"zeta")
     t.append_fr(b"zeta", zeta_i)
     zeta = FV.const(zeta_i)
 
     degenerate = bool(dev_pk.lookup_degenerate)
+    zero_poly = jnp.zeros((FR.L, n), dtype=U32)
     if degenerate:
         # all-zero table & q_lookup: f = t = h1 = h2 = 0 identically and
         # their commitments are the identity point (matches the spec's
         # combine_split on all-zero multisets; reference shortcut:
         # gen_proof.cuh:107-115).
-        zero_poly = jnp.zeros((FR.L, n), dtype=U32)
         compressed_t = zero_poly
         table_poly = zero_poly
         f_poly = zero_poly
@@ -207,15 +633,14 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
         t0_bcast = jnp.broadcast_to(compressed_t[:, :1], compressed_t.shape)
         zero_col = jnp.zeros_like(compressed_t)
         f_cols = [
-            mont.select(q_lookup_is_zero, t0_bcast, wires_dev[0]),
-            mont.select(q_lookup_is_zero, zero_col, wires_dev[1]),
-            mont.select(q_lookup_is_zero, zero_col, wires_dev[2]),
-            mont.select(q_lookup_is_zero, zero_col, wires_dev[3]),
+            mont.select(q_lookup_is_zero, t0_bcast, witness.wires_dev[0]),
+            mont.select(q_lookup_is_zero, zero_col, witness.wires_dev[1]),
+            mont.select(q_lookup_is_zero, zero_col, witness.wires_dev[2]),
+            mont.select(q_lookup_is_zero, zero_col, witness.wires_dev[3]),
         ]
         compressed_f = W.lc4(FV(f_cols[0]), FV(f_cols[1]), FV(f_cols[2]),
                              FV(f_cols[3]), zeta).v
         f_poly = jntt.intt(plan, compressed_f)
-        f_comm = commit(dev_srs, f_poly, cfg)
 
         # combine_split on host (order-sensitive bucketing; O(n)) — native
         # C hash-map over raw 16-bit-limb rows where available
@@ -239,8 +664,8 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
             h_2 = _to_dev(h_2_ints)
         h_1_poly = jntt.intt(plan, h_1)
         h_2_poly = jntt.intt(plan, h_2)
-        h_1_comm = commit(dev_srs, h_1_poly, cfg)
-        h_2_comm = commit(dev_srs, h_2_poly, cfg)
+        f_comm, h_1_comm, h_2_comm = commit_batch(
+            dev_srs, jnp.stack([f_poly, h_1_poly, h_2_poly], axis=1), cfg)
     t.append_g1(b"f", f_comm)
     t.append_g1(b"h1", h_1_comm)
     t.append_g1(b"h2", h_2_comm)
@@ -256,28 +681,24 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     epsilon_i = t.challenge_scalar(b"epsilon")
     t.append_fr(b"epsilon", epsilon_i)
     assert len({beta_i, gamma_i, delta_i, epsilon_i}) == 4
-    beta, gamma = FV.const(beta_i), FV.const(gamma_i)
-    delta_ch, epsilon = FV.const(delta_i), FV.const(epsilon_i)
 
-    z_evals = compute_permutation_evals(
-        plan, wires_dev, dev_pk.sigma_evals_n, beta, gamma)
-    z_poly = jntt.intt(plan, z_evals)
-    z_comm = commit(dev_srs, z_poly, cfg)
+    compressed_f_for_z2 = zero_poly if degenerate else compressed_f
+    sigma_evals = jnp.stack(dev_pk.sigma_evals_n, axis=1)   # (L, 4, n)
+    num_z, den_z, tot_z, num_2, den_2, tot_2 = _z_parts_jit(
+        sct.roots, wires, sigma_evals, compressed_f_for_z2, compressed_t,
+        h_1, h_2, _scal(beta_i), _scal(gamma_i), _scal(delta_i),
+        _scal(epsilon_i))
+
+    # the only mid-proof D2H syncs: two 64-byte total products
+    tots = FR.from_mont_host(np.asarray(jnp.stack([tot_z, tot_2], axis=1)))
+    inv_z = _scal(pow(tots[0], -1, M))
+    inv_2 = _scal(pow(tots[1], -1, M))
+
+    z_poly, _ = _z_finish_jit(plan, num_z, den_z, inv_z)
+    z_2_poly, _ = _z_finish_jit(plan, num_2, den_2, inv_2)
+    z_comm, z_2_comm = commit_batch(
+        dev_srs, jnp.stack([z_poly, z_2_poly], axis=1), cfg)
     t.append_g1(b"z", z_comm)
-
-    if degenerate:
-        compressed_f_for_z2 = jnp.zeros((FR.L, n), dtype=U32)
-    else:
-        compressed_f_for_z2 = compressed_f
-    z2_evals = compute_lookup_permutation_evals(
-        compressed_f_for_z2, compressed_t, h_1, h_2, delta_ch, epsilon)
-    z_2_poly = jntt.intt(plan, z2_evals)
-    z_2_comm = commit(dev_srs, z_2_poly, cfg)
-
-    pi_dense = [0] * n
-    for pos, v in witness.public_inputs.items():
-        pi_dense[pos] = v
-    pi_poly = jntt.intt(plan, _to_dev(pi_dense))
 
     # ------------------------------------------------------------- round 4
     mark("round3 (z/z2 grand products + 2 commits)", z_2_poly)
@@ -294,219 +715,43 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     lookup_i = t.challenge_scalar(b"lookup separation challenge")
     t.append_fr(b"lookup separation challenge", lookup_i)
 
-    t_coeffs = compute_quotient_device(
-        plan, plan8, dev_pk, z_poly, z_2_poly, wire_polys, pi_poly, f_poly,
-        table_poly, h_1_poly, h_2_poly,
-        alpha_i, beta_i, gamma_i, delta_i, epsilon_i, zeta_i,
-        range_i, logic_i, fbsm_i, ca_i, lookup_i)
+    ch = {"alpha": _scal(alpha_i), "beta": _scal(beta_i),
+          "gamma": _scal(gamma_i), "delta": _scal(delta_i),
+          "epsilon": _scal(epsilon_i), "zeta": _scal(zeta_i),
+          "range": _scal(range_i), "logic": _scal(logic_i),
+          "fbsm": _scal(fbsm_i), "ca": _scal(ca_i),
+          "lookup": _scal(lookup_i)}
+    t_stack = _quotient_jit(
+        plan, sct, dev_pk, wire_polys[:, 0], wire_polys[:, 1],
+        wire_polys[:, 2], wire_polys[:, 3], z_poly, z_2_poly, pi_poly,
+        f_poly, table_poly, h_1_poly, h_2_poly, ch)
 
-    t_i_polys = [t_coeffs[:, i * n:(i + 1) * n] for i in range(8)]
-    t_comms = [commit(dev_srs, p, cfg) for p in t_i_polys]
+    t_comms = commit_batch(dev_srs, t_stack, cfg)
     for i in range(8):
         t.append_g1(b"t_" + str(i + 1).encode(), t_comms[i])
 
     # ------------------------------------------------------------- round 5
-    mark("round4 (quotient + 8 commits)", t_coeffs)
+    mark("round4 (quotient + 8 commits)", t_stack)
     z_ch_i = t.challenge_scalar(b"z")
     t.append_fr(b"z", z_ch_i)
 
-    lin_poly, evaluations = compute_linearisation_device(
-        plan, dev_pk, alpha_i, beta_i, gamma_i, delta_i, epsilon_i, zeta_i,
-        range_i, logic_i, fbsm_i, ca_i, lookup_i, z_ch_i,
-        wire_polys, t_i_polys, z_poly, z_2_poly, f_poly, h_1_poly, h_2_poly,
-        table_poly)
-
-    ev = evaluations
-    t.append_fr(b"a_eval", ev.a_eval)
-    t.append_fr(b"b_eval", ev.b_eval)
-    t.append_fr(b"c_eval", ev.c_eval)
-    t.append_fr(b"d_eval", ev.d_eval)
-    t.append_fr(b"left_sig_eval", ev.left_sigma_eval)
-    t.append_fr(b"right_sig_eval", ev.right_sigma_eval)
-    t.append_fr(b"out_sig_eval", ev.out_sigma_eval)
-    t.append_fr(b"perm_eval", ev.permutation_eval)
-    t.append_fr(b"f_eval", ev.f_eval)
-    t.append_fr(b"q_lookup_eval", ev.q_lookup_eval)
-    t.append_fr(b"lookup_perm_eval", ev.z2_next_eval)
-    t.append_fr(b"h_1_eval", ev.h1_eval)
-    t.append_fr(b"h_1_next_eval", ev.h1_next_eval)
-    t.append_fr(b"h_2_eval", ev.h2_eval)
-    for label, value in ev.custom_evals:
-        t.append_fr(label.encode(), value)
-
-    # ------------------------------------------------------------ openings
-    mark("round5 (linearisation + evals)", lin_poly)
-    aw_i = t.challenge_scalar(b"aggregate_witness")
-    aw_polys = [lin_poly, dev_pk.sigma_poly[0], dev_pk.sigma_poly[1],
-                dev_pk.sigma_poly[2], f_poly, h_2_poly, table_poly,
-                wire_polys[0], wire_polys[1], wire_polys[2], wire_polys[3]]
-    aw_opening = open_aggregate_device(dev_srs, aw_polys, z_ch_i, aw_i, cfg)
-
-    saw_i = t.challenge_scalar(b"aggregate_witness")
-    omega = plan.omega
-    shifted = z_ch_i * omega % M
-    saw_polys = [z_poly, wire_polys[0], wire_polys[1], wire_polys[3],
-                 h_1_poly, z_2_poly, table_poly]
-    saw_opening = open_aggregate_device(dev_srs, saw_polys, shifted, saw_i,
-                                        cfg)
-
-    mark("openings (2 aggregates + 2 commits)", None)
-    return Proof(
-        a_comm=w_comms[0], b_comm=w_comms[1], c_comm=w_comms[2],
-        d_comm=w_comms[3], z_comm=z_comm, f_comm=f_comm, h_1_comm=h_1_comm,
-        h_2_comm=h_2_comm, z_2_comm=z_2_comm, t_comms=t_comms,
-        aw_opening=aw_opening, saw_opening=saw_opening,
-        evaluations=evaluations)
-
-
-# ---------------------------------------------------------------------------
-# helpers
-# ---------------------------------------------------------------------------
-
-def compute_permutation_evals(plan, wires_dev, sigma_evals, beta, gamma):
-    """Grand-product z(X) evals: ratios + batched inversion + prefix product
-    (permutation/mod.cu:44-144 counterpart)."""
-    n = wires_dev[0].shape[1]
-    roots = FV(jpoly.powers(FR, jnp.asarray(FR.scalar_mont(plan.omega)), n))
-    ks = [FV.const(k) for k in (1, K1, K2, K3)]
-    numv = None
-    denv = None
-    for w in range(4):
-        wv = FV(wires_dev[w])
-        sv = FV(sigma_evals[w])
-        nterm = wv + beta * ks[w] * roots + gamma
-        dterm = wv + beta * sv + gamma
-        numv = nterm if numv is None else numv * nterm
-        denv = dterm if denv is None else denv * dterm
-    dinv = FV(mont.batch_inv(FR, denv.v))
-    ratios = (numv * dinv).v
-    return jpoly.prefix_product(FR, ratios, shift_one=True)
-
-
-def compute_lookup_permutation_evals(f, tcol, h1, h2, delta_ch, epsilon):
-    one = FV.one()
-    opd = delta_ch + one
-    eps_opd = epsilon * opd
-    fv, tv = FV(f), FV(tcol)
-    h1v, h2v = FV(h1), FV(h2)
-    t_next = tv.roll(1)
-    h1_next = h1v.roll(1)
-    num = opd * (epsilon + fv) * (eps_opd + tv + delta_ch * t_next)
-    den = (eps_opd + h1v + h2v * delta_ch) * \
-        (eps_opd + h2v + h1_next * delta_ch)
-    dinv = FV(mont.batch_inv(FR, den.v))
-    ratios = (num * dinv).v
-    return jpoly.prefix_product(FR, ratios, shift_one=True)
-
-
-def _wrap8(e):
-    return jnp.concatenate([e, e[:, :8]], axis=1)
-
-
-def compute_quotient_device(plan, plan8, dev_pk, z_poly, z2_poly, wire_polys,
-                            pi_poly, f_poly, table_poly, h1_poly, h2_poly,
-                            alpha_i, beta_i, gamma_i, delta_i, epsilon_i,
-                            zeta_i, range_i, logic_i, fbsm_i, ca_i, lookup_i):
-    """quotient_poly.rs compute() vectorized over the 8n coset
-    (quotient.cu:142-376 counterpart)."""
-    from ..params import JUBJUB_A, JUBJUB_D
-    n = dev_pk.n
-    n8 = 8 * n
-
-    def lift(p):
-        return jnp.concatenate(
-            [p, jnp.zeros((FR.L, n8 - p.shape[1]), dtype=U32)], axis=1)
-
-    def cfft(p):
-        return jntt.coset_ntt(plan8, lift(p))
-
-    l1_coeffs = _to_dev([pow(n, -1, M)] * n)
-    l1_8 = cfft(l1_coeffs)
-    alpha = FV.const(alpha_i)
-    alpha_sq_l1 = (FV(l1_8) * alpha * alpha).v
-
-    z8 = _wrap8(cfft(z_poly))
-    wl8 = _wrap8(cfft(wire_polys[0]))
-    wr8 = _wrap8(cfft(wire_polys[1]))
-    wo8 = cfft(wire_polys[2])
-    w48 = _wrap8(cfft(wire_polys[3]))
-    z28 = _wrap8(cfft(z2_poly))
-    f8 = cfft(f_poly)
-    t8 = _wrap8(cfft(table_poly))
-    h18 = _wrap8(cfft(h1_poly))
-    h28 = cfft(h2_poly)
-    pi8 = cfft(pi_poly)
-
-    sel = {k: FV(v) for k, v in dev_pk.sel_8n.items()}
-    a, b = FV(wl8[:, :n8]), FV(wr8[:, :n8])
-    c, d = FV(wo8), FV(w48[:, :n8])
-    a_n, b_n, d_n = FV(wl8[:, 8:]), FV(wr8[:, 8:]), FV(w48[:, 8:])
-
-    arith = W.arithmetic_constraint(
-        sel["q_arith"], sel["q_m"], sel["q_l"], sel["q_r"], sel["q_o"],
-        sel["q_4"], sel["q_c"], sel["q_hl"], sel["q_hr"], sel["q_h4"],
-        a, b, c, d)
-    rng = sel["q_range"] * W.range_constraint(
-        FV.const(range_i), a, b, c, d, d_n)
-    lgc = sel["q_logic"] * W.logic_constraint(
-        FV.const(logic_i), a, b, c, d, a_n, b_n, d_n, sel["q_c"])
-    fbsm = sel["q_fixed_group_add"] * W.fbsm_constraint(
-        FV.const(fbsm_i), a, b, c, d, a_n, b_n, d_n, sel["q_l"], sel["q_r"],
-        sel["q_c"], FV.const(JUBJUB_A), FV.const(JUBJUB_D))
-    ca = sel["q_variable_group_add"] * W.ca_constraint(
-        FV.const(ca_i), a, b, c, d, a_n, b_n, d_n,
-        FV.const(JUBJUB_A), FV.const(JUBJUB_D))
-    gate = arith + FV(pi8) + rng + lgc + fbsm + ca
-
-    perm = W.permutation_quotient_term(
-        FV(dev_pk.linear_8n), FV(dev_pk.sigma_8n[0]), FV(dev_pk.sigma_8n[1]),
-        FV(dev_pk.sigma_8n[2]), FV(dev_pk.sigma_8n[3]), a, b, c, d,
-        FV(z8[:, :n8]), FV(z8[:, 8:]), alpha, FV(alpha_sq_l1),
-        FV.const(beta_i), FV.const(gamma_i),
-        FV.const(K1), FV.const(K2), FV.const(K3))
-
-    lkp = W.lookup_quotient_term(
-        sel["q_lookup"], a, b, c, d, FV(f8), FV(t8[:, :n8]), FV(t8[:, 8:]),
-        FV(h18[:, :n8]), FV(h18[:, 8:]), FV(h28), FV(z28[:, :n8]),
-        FV(z28[:, 8:]), FV(l1_8), FV.const(delta_i), FV.const(epsilon_i),
-        FV.const(zeta_i), FV.const(lookup_i))
-
-    numer = gate + perm + lkp
-    quotient = numer * FV(dev_pk.v_h_inv_8n)
-    return jntt.coset_intt(plan8, quotient.v)
-
-
-def _eval_at(polys, pows):
-    return [jpoly.poly_eval(FR, p, pows) for p in polys]
-
-
-def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
-                                 delta_i, epsilon_i, zeta_i, range_i, logic_i,
-                                 fbsm_i, ca_i, lookup_i, z_ch_i, wire_polys,
-                                 t_i_polys, z_poly, z_2_poly, f_poly, h1_poly,
-                                 h2_poly, table_poly):
-    """linearisation_poly.rs compute() with device evaluations (powers-table
-    dot products) and device poly combination (linearisation.cu:73-308)."""
-    n = dev_pk.n
-    omega = plan.omega
+    omega = jntt.get_plan(log_n).omega
     shifted_i = z_ch_i * omega % M
 
-    pows_z = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(z_ch_i)), n)
-    pows_sz = jpoly.powers(FR, jnp.asarray(FR.scalar_mont(shifted_i)), n)
-
     sp = dev_pk.sel_poly
-    at_z = _eval_at(
-        [wire_polys[0], wire_polys[1], wire_polys[2], wire_polys[3],
-         dev_pk.sigma_poly[0], dev_pk.sigma_poly[1], dev_pk.sigma_poly[2],
-         sp["q_arith"], sp["q_lookup"], sp["q_c"], sp["q_l"], sp["q_r"],
-         sp["q_hl"], sp["q_hr"], sp["q_h4"],
-         h1_poly, h2_poly, f_poly, table_poly], pows_z)
-    at_sz = _eval_at(
-        [z_poly, wire_polys[0], wire_polys[1], wire_polys[3], z_2_poly,
-         h1_poly, table_poly], pows_sz)
-
-    batch = jnp.stack(at_z + at_sz, axis=1)    # (L, 26)
-    ints = FR.from_mont_host(np.asarray(batch))
+    at_z_polys = [wire_polys[:, 0], wire_polys[:, 1], wire_polys[:, 2],
+                  wire_polys[:, 3],
+                  dev_pk.sigma_poly[0], dev_pk.sigma_poly[1],
+                  dev_pk.sigma_poly[2],
+                  sp["q_arith"], sp["q_lookup"], sp["q_c"], sp["q_l"],
+                  sp["q_r"], sp["q_hl"], sp["q_hr"], sp["q_h4"],
+                  h_1_poly, h_2_poly, f_poly, table_poly]
+    at_sz_polys = [z_poly, wire_polys[:, 0], wire_polys[:, 1],
+                   wire_polys[:, 3], z_2_poly, h_1_poly, table_poly]
+    evs_z = _eval_at_jit(jnp.stack(at_z_polys, axis=1), _scal(z_ch_i))
+    evs_sz = _eval_at_jit(jnp.stack(at_sz_polys, axis=1), _scal(shifted_i))
+    ints = FR.from_mont_host(
+        np.asarray(jnp.concatenate([evs_z, evs_sz], axis=1)))
     (a_eval, b_eval, c_eval, d_eval, ls_eval, rs_eval, os_eval, q_arith_eval,
      q_lookup_eval, q_c_eval, q_l_eval, q_r_eval, q_hl_eval, q_hr_eval,
      q_h4_eval, h1_eval, h2_eval, f_eval, table_eval) = ints[:19]
@@ -533,32 +778,53 @@ def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
             ("b_next_eval", b_next_eval), ("d_next_eval", d_next_eval),
         ])
 
-    # gate constraints portion (scalar coefficients x selector polys)
+    ev = evaluations
+    t.append_fr(b"a_eval", ev.a_eval)
+    t.append_fr(b"b_eval", ev.b_eval)
+    t.append_fr(b"c_eval", ev.c_eval)
+    t.append_fr(b"d_eval", ev.d_eval)
+    t.append_fr(b"left_sig_eval", ev.left_sigma_eval)
+    t.append_fr(b"right_sig_eval", ev.right_sigma_eval)
+    t.append_fr(b"out_sig_eval", ev.out_sigma_eval)
+    t.append_fr(b"perm_eval", ev.permutation_eval)
+    t.append_fr(b"f_eval", ev.f_eval)
+    t.append_fr(b"q_lookup_eval", ev.q_lookup_eval)
+    t.append_fr(b"lookup_perm_eval", ev.z2_next_eval)
+    t.append_fr(b"h_1_eval", ev.h1_eval)
+    t.append_fr(b"h_1_next_eval", ev.h1_next_eval)
+    t.append_fr(b"h_2_eval", ev.h2_eval)
+    for label, value in ev.custom_evals:
+        t.append_fr(label.encode(), value)
+
+    # linearisation: scalar coefficients on host (exact spec formulas,
+    # linearisation_poly.rs compute()), ONE device linear combination.
     from ..protocol.widgets import (range_constraint, logic_constraint,
                                     fbsm_constraint, ca_constraint, lc)
 
-    def spoly(name):
-        return FV(sp[name])
+    lin_terms = []   # (poly (L, n), int coefficient)
 
-    gate = (spoly("q_m") * FV.const(a_eval * b_eval % M)
-            + spoly("q_l") * FV.const(a_eval)
-            + spoly("q_r") * FV.const(b_eval)
-            + spoly("q_o") * FV.const(c_eval)
-            + spoly("q_4") * FV.const(d_eval)
-            + spoly("q_hl") * FV.const(pow(a_eval, 5, M))
-            + spoly("q_hr") * FV.const(pow(b_eval, 5, M))
-            + spoly("q_h4") * FV.const(pow(d_eval, 5, M))
-            + spoly("q_c")) * FV.const(q_arith_eval)
+    def add_term(poly, coeff):
+        lin_terms.append((poly, coeff % M))
 
-    gate = gate + spoly("q_range") * FV.const(range_constraint(
+    ab = a_eval * b_eval % M
+    add_term(sp["q_m"], ab * q_arith_eval)
+    add_term(sp["q_l"], a_eval * q_arith_eval)
+    add_term(sp["q_r"], b_eval * q_arith_eval)
+    add_term(sp["q_o"], c_eval * q_arith_eval)
+    add_term(sp["q_4"], d_eval * q_arith_eval)
+    add_term(sp["q_hl"], pow(a_eval, 5, M) * q_arith_eval)
+    add_term(sp["q_hr"], pow(b_eval, 5, M) * q_arith_eval)
+    add_term(sp["q_h4"], pow(d_eval, 5, M) * q_arith_eval)
+    add_term(sp["q_c"], q_arith_eval)
+    add_term(sp["q_range"], range_constraint(
         range_i, a_eval, b_eval, c_eval, d_eval, d_next_eval))
-    gate = gate + spoly("q_logic") * FV.const(logic_constraint(
+    add_term(sp["q_logic"], logic_constraint(
         logic_i, a_eval, b_eval, c_eval, d_eval, a_next_eval, b_next_eval,
         d_next_eval, q_c_eval))
-    gate = gate + spoly("q_fixed_group_add") * FV.const(fbsm_constraint(
+    add_term(sp["q_fixed_group_add"], fbsm_constraint(
         fbsm_i, a_eval, b_eval, c_eval, d_eval, a_next_eval, b_next_eval,
         d_next_eval, q_l_eval, q_r_eval, q_c_eval))
-    gate = gate + spoly("q_variable_group_add") * FV.const(ca_constraint(
+    add_term(sp["q_variable_group_add"], ca_constraint(
         ca_i, a_eval, b_eval, c_eval, d_eval, a_next_eval, b_next_eval,
         d_next_eval))
 
@@ -568,16 +834,14 @@ def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
     opd = (delta_i + 1) % M
     eps_opd = epsilon_i * opd % M
     compressed = lc([a_eval, b_eval, c_eval, d_eval], zeta_i)
-    lkp = spoly("q_lookup") * FV.const(
-        (compressed - f_eval) % M * lookup_i % M)
+    add_term(sp["q_lookup"], (compressed - f_eval) % M * lookup_i % M)
     b0 = (epsilon_i + f_eval) % M
     b1 = (eps_opd + table_eval + delta_i * table_next_eval) % M
     b2 = l1_eval * ls3 % M
-    lkp = lkp + FV(z_2_poly) * FV.const(
-        (opd * b0 % M * b1 % M * ls2 + b2) % M)
+    add_term(z_2_poly, (opd * b0 % M * b1 % M * ls2 + b2) % M)
     c0 = (-z2_next_eval) % M * ls2 % M
     c1 = (eps_opd + h2_eval + delta_i * h1_next_eval) % M
-    lkp = lkp + FV(h1_poly) * FV.const(c0 * c1 % M)
+    add_term(h_1_poly, c0 * c1 % M)
 
     # permutation portion
     beta_z = beta_i * z_ch_i % M
@@ -586,33 +850,50 @@ def compute_linearisation_device(plan, dev_pk, alpha_i, beta_i, gamma_i,
     a2 = (c_eval + K2 * beta_z + gamma_i) % M
     a3 = (d_eval + K3 * beta_z + gamma_i) % M
     ident = a0 * a1 % M * a2 % M * a3 % M * alpha_i % M
-    perm = FV(z_poly) * FV.const(ident)
+    add_term(z_poly,
+             (ident + l1_eval * (alpha_i * alpha_i % M)) % M)
     s0 = (a_eval + beta_i * ls_eval + gamma_i) % M
     s1 = (b_eval + beta_i * rs_eval + gamma_i) % M
     s2 = (c_eval + beta_i * os_eval + gamma_i) % M
     copy = s0 * s1 % M * s2 % M * beta_i % M * perm_eval % M * alpha_i % M
-    perm = perm + FV(dev_pk.sigma_poly[3]) * FV.const((-copy) % M)
-    perm = perm + FV(z_poly) * FV.const(
-        l1_eval * (alpha_i * alpha_i % M) % M)
+    add_term(dev_pk.sigma_poly[3], (-copy) % M)
 
-    quot = FV(t_i_polys[7])
-    zn = FV.const(z_to_n)
-    for idx in range(6, -1, -1):
-        quot = quot * zn + FV(t_i_polys[idx])
-    neg_quot = quot * FV.const((-vanishing_eval) % M)
+    # quotient portion: -vanishing * sum_i z^(n*i) t_i
+    zn_pow = 1
+    for i in range(8):
+        add_term(t_stack[:, i], (-vanishing_eval) % M * zn_pow % M)
+        zn_pow = zn_pow * z_to_n % M
 
-    lin = gate + perm + lkp + neg_quot
-    return lin.v, evaluations
+    lin_stack = jnp.stack([p for p, _ in lin_terms], axis=1)
+    lin_coeffs = jnp.asarray(FR.to_mont_host([c for _, c in lin_terms]))
+    lin_poly = _lincomb_jit(lin_stack, lin_coeffs)
 
+    # ------------------------------------------------------------ openings
+    mark("round5 (linearisation + evals)", lin_poly)
+    aw_i = t.challenge_scalar(b"aggregate_witness")
+    aw_polys = [lin_poly, dev_pk.sigma_poly[0], dev_pk.sigma_poly[1],
+                dev_pk.sigma_poly[2], f_poly, h_2_poly, table_poly,
+                wire_polys[:, 0], wire_polys[:, 1], wire_polys[:, 2],
+                wire_polys[:, 3]]
+    aw_chis = [pow(aw_i, k, M) for k in range(len(aw_polys))]
+    aw_q = _open_jit(jnp.stack(aw_polys, axis=1),
+                     jnp.asarray(FR.to_mont_host(aw_chis)), _scal(z_ch_i))
 
-def open_aggregate_device(dev_srs, polys, point_i, challenge_i, cfg):
-    """chi-aggregation + synthetic division + MSM (kzg10.cu:87-146)."""
-    agg = None
-    chi = 1
-    for p in polys:
-        scaled = FV(p) * FV.const(chi)
-        agg = scaled if agg is None else agg + scaled
-        chi = chi * challenge_i % M
-    q, _ = jpoly.divide_linear(FR, agg.v,
-                               jnp.asarray(FR.scalar_mont(point_i)))
-    return commit(dev_srs, q, cfg)
+    saw_i = t.challenge_scalar(b"aggregate_witness")
+    saw_polys = [z_poly, wire_polys[:, 0], wire_polys[:, 1],
+                 wire_polys[:, 3], h_1_poly, z_2_poly, table_poly]
+    saw_chis = [pow(saw_i, k, M) for k in range(len(saw_polys))]
+    saw_q = _open_jit(jnp.stack(saw_polys, axis=1),
+                      jnp.asarray(FR.to_mont_host(saw_chis)),
+                      _scal(shifted_i))
+
+    aw_opening, saw_opening = commit_batch(
+        dev_srs, jnp.stack([aw_q, saw_q], axis=1), cfg)
+
+    mark("openings (2 aggregates + 2 commits)", None)
+    return Proof(
+        a_comm=w_comms[0], b_comm=w_comms[1], c_comm=w_comms[2],
+        d_comm=w_comms[3], z_comm=z_comm, f_comm=f_comm, h_1_comm=h_1_comm,
+        h_2_comm=h_2_comm, z_2_comm=z_2_comm, t_comms=t_comms,
+        aw_opening=aw_opening, saw_opening=saw_opening,
+        evaluations=evaluations)
