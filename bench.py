@@ -19,6 +19,7 @@ number. Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -26,17 +27,18 @@ import numpy as np
 import jax
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+from zprize_tpu import jaxcache  # noqa: E402
+
 if os.environ.get("BENCH_CPU") == "1":      # debug/smoke runs off-chip
     jax.config.update("jax_platforms", "cpu")
+    jaxcache.disable()
 else:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(ROOT, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    # persist EVERYTHING: eager glue ops (pad/slice/stack around the fused
-    # programs) compile in ~0.3-0.5s each through the axon compile helper,
-    # and a few hundred of them re-compiled every process when only >0.5s
-    # entries were cached
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # TPU-only persistent cache: CPU compiles (twiddle-table builders etc.)
+    # are fenced out — XLA:CPU AOT entries embed host CPU features and
+    # poison the cache when the bench host differs from the builder host
+    # (BENCH_r02's failure mode; see zprize_tpu/jaxcache.py).
+    jaxcache.configure(ROOT)
 
 import jax.numpy as jnp
 
@@ -172,11 +174,81 @@ def run_proof(height, window_bits, lay, dev_pk, vk, dev_srs,
     return witness_s, prove_s
 
 
+def persisted_setups():
+    """[(height, window_bits)] of every complete .bench_cache entry."""
+    out = []
+    base = os.path.join(ROOT, ".bench_cache")
+    if not os.path.isdir(base):
+        return out
+    for name in os.listdir(base):
+        if not name.startswith("h"):
+            continue
+        try:
+            h_s, w_s = name[1:].split("_w")
+            h, w = int(h_s), int(w_s)
+        except ValueError:
+            continue
+        d = os.path.join(base, name)
+        if (os.path.exists(os.path.join(d, "pk.npz"))
+                and os.path.exists(os.path.join(d, "vk.json"))):
+            out.append((h, w))
+    return sorted(out)
+
+
+_EMITTED = False
+_BEST = None        # (height, n, witness_s, prove_s, verified)
+
+
+def _emit(height, n, witness_s, prove_s, verified):
+    """Print THE one JSON line (first call wins)."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    gen_proof_s = witness_s + prove_s
+    scaled_baseline = BASELINE_GEN_PROOF_S * n / (1 << BASELINE_LOG_N)
+    print(json.dumps({
+        "metric": f"gen_proof seconds (height-{height} Poseidon tree"
+                  + ("" if verified else ", UNVERIFIED") + ")",
+        "value": round(gen_proof_s, 3),
+        "unit": "s",
+        "vs_baseline": round(scaled_baseline / gen_proof_s, 4),
+    }), flush=True)
+
+
+def _watchdog(signum, frame):
+    """Deadline fallback: never end the process with nothing parsed."""
+    print("# BENCH_DEADLINE hit", file=sys.stderr, flush=True)
+    if _BEST is not None:
+        _emit(*_BEST)
+    elif not _EMITTED:
+        print(json.dumps({"metric": "gen_proof seconds (deadline, no prove "
+                          "completed)", "value": -1, "unit": "s",
+                          "vs_baseline": 0}), flush=True)
+    sys.exit(0 if _BEST is not None else 1)
+
+
 def main():
-    height = int(os.environ.get("BENCH_HEIGHT", "6"))
+    global _BEST
     window_bits = int(os.environ.get("BENCH_WINDOW_BITS", "8"))
     verify_proof = os.environ.get("BENCH_VERIFY", "1") == "1"
     setup_only = len(sys.argv) > 1 and sys.argv[1] == "setup"
+
+    # default height: the LARGEST persisted setup (climbing the ladder is
+    # done offline via `bench.py setup`); env override wins; 6 if nothing
+    # is persisted yet (falls back to an in-process build).
+    avail = persisted_setups()
+    if os.environ.get("BENCH_HEIGHT"):
+        height = int(os.environ["BENCH_HEIGHT"])
+    elif avail and not setup_only:
+        height, window_bits = max(avail)
+    else:
+        height = 6
+
+    if not setup_only:
+        deadline = int(os.environ.get("BENCH_DEADLINE", "3000"))
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(deadline)
 
     from zprize_tpu.merkle.layout import MerkleLayout  # noqa: F401 (early import)
 
@@ -211,14 +283,22 @@ def main():
     # scored loop): traces/lowers the jitted round programs and hits the
     # persistent compile cache so the scored run measures execution.
     if os.environ.get("BENCH_WARMUP", "1") == "1":
-        run_proof(height, window_bits, lay, dev_pk, vk, dev_srs,
-                  verify_proof=False, label="warmup")
+        w_s, p_s = run_proof(height, window_bits, lay, dev_pk, vk, dev_srs,
+                             verify_proof=False, label="warmup")
+        # deadline fallback only: a warm-up time is better than no number
+        _BEST = (height, n, w_s, p_s, False)
 
     repeat = int(os.environ.get("BENCH_REPEAT", "1"))
     for r in range(repeat):
         witness_s, prove_s = run_proof(height, window_bits, lay, dev_pk, vk,
                                        dev_srs, verify_proof,
                                        label=f"scored[{r}]")
+        if r == 0:
+            # emit THE scored JSON line immediately — repeats and summary
+            # tables must never stand between a good prove and a parsed
+            # BENCH_rNN (two rounds died with rc=124 and nothing captured)
+            _emit(height, n, witness_s, prove_s, verify_proof)
+            signal.alarm(0)
     gen_proof_s = witness_s + prove_s
 
     # reference-style summary table (zprize_bench.rs four-column shape)
@@ -226,15 +306,6 @@ def main():
     print(f"# | gadget (witness) | {witness_s:7.2f} |", file=sys.stderr)
     print(f"# | gen_proof        | {prove_s:7.2f} |", file=sys.stderr)
     print(f"# | total            | {gen_proof_s:7.2f} |", file=sys.stderr)
-
-    # scale the reference's height-15 number by circuit size for smaller runs
-    scaled_baseline = BASELINE_GEN_PROOF_S * n / (1 << BASELINE_LOG_N)
-    print(json.dumps({
-        "metric": f"gen_proof seconds (height-{height} Poseidon tree)",
-        "value": round(gen_proof_s, 3),
-        "unit": "s",
-        "vs_baseline": round(scaled_baseline / gen_proof_s, 4),
-    }))
 
 
 if __name__ == "__main__":

@@ -4,15 +4,16 @@ Poseidon witness throughput. Informs bench.py config and optimization work.
 Usage: /opt/venv/bin/python bench_micro.py  (runs on the axon TPU)
 """
 
+import os
 import time
 import sys
 
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from zprize_tpu import jaxcache  # noqa: E402
+jaxcache.configure(min_compile_secs=0.5)
 
 import jax.numpy as jnp
 

@@ -31,8 +31,8 @@ def test_keys_roundtrip(tmp_path, srs_1k):
     assert pk2.n == pk.n
     assert np.array_equal(np.asarray(pk2.sel_poly["q_m"]),
                           np.asarray(pk.sel_poly["q_m"]))
-    assert np.array_equal(np.asarray(pk2.sigma_sub[3]),
-                          np.asarray(pk.sigma_sub[3]))
+    assert np.array_equal(np.asarray(pk2.sigma_poly[3]),
+                          np.asarray(pk.sigma_poly[3]))
     assert pk2.lookup_degenerate == pk.lookup_degenerate
     assert vk2.n == vk.n
     assert vk2.commitments == vk.commitments

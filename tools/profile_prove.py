@@ -16,9 +16,8 @@ sys.path.insert(0, ROOT)
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from zprize_tpu import jaxcache
+jaxcache.configure(ROOT)
 
 import jax.numpy as jnp
 

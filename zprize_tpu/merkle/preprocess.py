@@ -1,12 +1,13 @@
-"""Device preprocessing for the Merkle layout: selector/sigma IFFTs,
-sub-coset eval tables, and KZG commitments straight from the tiled layout
-arrays — the counterpart of `preprocess_shared`/`preprocess_prover`
+"""Device preprocessing for the Merkle layout: selector/sigma IFFTs and KZG
+commitments straight from the tiled layout arrays — the counterpart of
+`preprocess_shared`/`preprocess_prover`
 (`plonk-core/src/proof_system/preprocess.rs:162-492`) with the O(n) work on
 device (limbs-leading (L, n) arrays).
 
-The 8n coset tables of the reference become (L, 8, n) sub-coset tables
-(8 shifted n-NTTs per polynomial — the prover never runs an 8n transform;
-see `ops/ntt.py SubcosetTables`)."""
+The reference's 8n coset tables (19 x 1 GiB at height 15) are NOT built:
+the prover recomputes each sub-coset's evals on the fly from coefficient
+form inside `_quotient_jit` (see `prover_tpu.DevProverKey`), so the prover
+key is coefficient-only — 8x smaller than the reference's."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -24,12 +25,6 @@ from .layout import MerkleLayout
 M = R_MOD
 
 
-def subcoset_evals(plan, sct, polys):
-    """(L, P, n) coefficient polys -> (L, P, 8, n) sub-coset eval tables."""
-    shifted = mont.mont_mul(FR, polys[:, :, None, :], sct.shift_pows[:, None])
-    return jntt.transform_last(plan, shifted, False)
-
-
 def preprocess_layout(lay: MerkleLayout, dev_srs: DevSRS, transcript,
                       cfg: ProverConfig = None):
     """Returns (DevProverKey, VerifierKey); seeds the transcript."""
@@ -37,7 +32,6 @@ def preprocess_layout(lay: MerkleLayout, dev_srs: DevSRS, transcript,
     n = lay.n
     log_n = n.bit_length() - 1
     plan = jntt.get_plan(log_n).warm()
-    sct = jntt.get_subcoset_tables(log_n)
 
     pk = DevProverKey()
     pk.n = n
@@ -62,11 +56,6 @@ def preprocess_layout(lay: MerkleLayout, dev_srs: DevSRS, transcript,
         commitments[name] = comms[i]
     for i, name in enumerate(SIGMA_NAMES):
         commitments[name] = comms[len(SELECTOR_ORDER) + i]
-
-    subs = subcoset_evals(plan, sct, all_polys)             # (L, 19, 8, n)
-    pk.sel_sub = {name: subs[:, i]
-                  for i, name in enumerate(SELECTOR_ORDER)}
-    pk.sigma_sub = [subs[:, len(SELECTOR_ORDER) + i] for i in range(4)]
 
     # empty lookup table -> 4 all-zero padded columns (MultiSet::pad);
     # q_lookup is identically zero in this circuit, so the lookup system is

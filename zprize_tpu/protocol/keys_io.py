@@ -20,12 +20,8 @@ def save_prover_key(pk: DevProverKey, path: str):
     arrays = {"n": np.asarray([pk.n])}
     for k, v in pk.sel_poly.items():
         arrays[f"sp_{k}"] = np.asarray(v)
-    for k, v in pk.sel_sub.items():
-        arrays[f"ss_{k}"] = np.asarray(v)
     for i, v in enumerate(pk.sigma_poly):
         arrays[f"sigp_{i}"] = np.asarray(v)
-    for i, v in enumerate(pk.sigma_sub):
-        arrays[f"sigs_{i}"] = np.asarray(v)
     for i, v in enumerate(pk.sigma_evals_n):
         arrays[f"sige_{i}"] = np.asarray(v)
     for i, v in enumerate(pk.table_cols):
@@ -39,9 +35,7 @@ def load_prover_key(path: str) -> DevProverKey:
     pk.n = int(z["n"][0])
     pk.log_n = pk.n.bit_length() - 1
     pk.sel_poly = {k: jnp.asarray(z[f"sp_{k}"]) for k in SELECTOR_ORDER}
-    pk.sel_sub = {k: jnp.asarray(z[f"ss_{k}"]) for k in SELECTOR_ORDER}
     pk.sigma_poly = [jnp.asarray(z[f"sigp_{i}"]) for i in range(4)]
-    pk.sigma_sub = [jnp.asarray(z[f"sigs_{i}"]) for i in range(4)]
     pk.sigma_evals_n = [jnp.asarray(z[f"sige_{i}"]) for i in range(4)]
     pk.table_cols = [jnp.asarray(z[f"tbl_{i}"]) for i in range(4)]
     pk.lookup_degenerate = bool(

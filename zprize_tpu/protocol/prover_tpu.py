@@ -122,30 +122,26 @@ class DevSRS:
 
 
 class DevProverKey:
-    """Device-resident prover key: selector/sigma coefficient polys, their
-    n-domain evals, and their 8 sub-coset eval tables (L, 8, n) — the same
-    data the GPU keeps as (8n) coset tables in `load_pk` (`load.cu:58-307`),
-    reorganized sub-coset-major so the quotient round is 8 uniform n-sized
-    passes. Registered as a pytree (jit argument)."""
+    """Device-resident prover key: selector/sigma COEFFICIENT polys plus the
+    sigma n-domain evals. The reference keeps every selector additionally as
+    an 8n coset-eval table and streams those from 62 GB of host RAM
+    (`load.cu:58-307`, `gen_proof.cuh:277-317`); here the quotient round
+    recomputes each sub-coset's evals on the fly from coefficient form
+    (8 shifted n-NTTs inside `_quotient_jit`'s scan) — at n=2^22 that trades
+    ~38 GiB of resident (L, 8, n) tables for 19 extra n-NTTs per sub-coset
+    pass, which is the right trade when HBM is 16 GB and the host link is a
+    tunnel. Registered as a pytree (jit argument)."""
 
     lookup_degenerate = False
 
     @classmethod
     def from_ref(cls, pk):
-        """Build from the executable-spec ProverKey (int lists). The ref 8n
-        coset tables map to sub-coset tables by m = 8p + j."""
+        """Build from the executable-spec ProverKey (int lists)."""
         self = cls()
         self.n = pk.n
         self.log_n = pk.n.bit_length() - 1
-
-        def sub(v8n):
-            a = _to_dev(v8n)                           # (L, 8n) natural
-            return jnp.swapaxes(a.reshape(FR.L, -1, 8), 1, 2)  # (L, 8, n)
-
         self.sel_poly = {k: _to_dev(v) for k, v in pk.selector_polys.items()}
-        self.sel_sub = {k: sub(v) for k, v in pk.selector_8n.items()}
         self.sigma_poly = [_to_dev(v) for v in pk.sigma_polys]
-        self.sigma_sub = [sub(v) for v in pk.sigma_8n]
         self.sigma_evals_n = [_to_dev(v) for v in pk.sigma_evals_n]
         self.table_cols = [_to_dev(c) for c in pk.table_columns]
         self.lookup_degenerate = (
@@ -159,8 +155,7 @@ class DevProverKey:
 
 
 def _pk_flatten(pk):
-    children = (pk.sel_poly, pk.sel_sub, pk.sigma_poly, pk.sigma_sub,
-                pk.sigma_evals_n, pk.table_cols)
+    children = (pk.sel_poly, pk.sigma_poly, pk.sigma_evals_n, pk.table_cols)
     aux = (pk.n, pk.log_n, pk.lookup_degenerate)
     return children, aux
 
@@ -168,8 +163,7 @@ def _pk_flatten(pk):
 def _pk_unflatten(aux, children):
     pk = DevProverKey.__new__(DevProverKey)
     pk.n, pk.log_n, pk.lookup_degenerate = aux
-    (pk.sel_poly, pk.sel_sub, pk.sigma_poly, pk.sigma_sub,
-     pk.sigma_evals_n, pk.table_cols) = children
+    (pk.sel_poly, pk.sigma_poly, pk.sigma_evals_n, pk.table_cols) = children
     return pk
 
 
@@ -434,101 +428,140 @@ def _sum_axis(a, axis):
 @jax.jit
 def _quotient_jit(plan, sct, pk, wl, wr, wo, w4, z, z2, pi,
                   f, tcol, h1, h2, ch):
-    """quotient_poly.rs compute() over the 8 sub-cosets at once
+    """quotient_poly.rs compute(), one sub-coset at a time via `lax.scan`
     (quotient.cu:142-376 counterpart). All inputs are coefficient-form
     (L, n); ch is a dict of (L,) challenge limbs. Returns the 8 quotient
-    chunk polys t_q stacked as (L, 8, n)."""
+    chunk polys t_q stacked as (L, 8, n).
+
+    Memory plan (the reference needs 62 GB and streams PK tables over PCIe,
+    README:57): NO (L, 8, n) eval table is ever materialized — each scan
+    step recomputes every polynomial's evals on sub-coset j = g·w8n^j·H by
+    a shifted n-NTT, grouped so selector evals die right after their widget
+    term: peak live memory is O(#polys · n), not O(#polys · 8n)."""
     degenerate = pk.lookup_degenerate
     n = wl.shape[-1]
     L = FR.L
-    shift = sct.shift_pows                          # (L, 8, n)
 
     l1c = jnp.broadcast_to(plan.n_inv[:, None], (L, n))
-    polys = [wl, wr, wo, w4, z, z2, pi, l1c]
+    base = [wl, wr, wo, w4, z, z2, pi, l1c]
     if not degenerate:
-        polys += [f, tcol, h1, h2]
-    st = jnp.stack(polys, axis=1)                   # (L, P, n)
-    shifted = mont.mont_mul(FR, st[:, :, None, :], shift[:, None])
-    E = jntt.transform_last(plan, shifted, False)   # (L, P, 8, n)
+        base += [f, tcol, h1, h2]
+    base_st = jnp.stack(base, axis=1)               # (L, P, n)
 
-    def ev(i):
-        return FV(E[:, i])
-
-    def nxt(i):
-        return FV(jnp.roll(E[:, i], -1, axis=-1))
+    # selector groups, NTT'd separately per sub-coset so each group's evals
+    # are freed once its widget term is folded into the numerator
+    arith_names = ["q_arith", "q_m", "q_l", "q_r", "q_o", "q_4", "q_c",
+                   "q_hl", "q_hr", "q_h4"]
+    other_names = ["q_range", "q_logic", "q_lookup", "q_fixed_group_add",
+                   "q_variable_group_add"]
+    arith_st = jnp.stack([pk.sel_poly[k] for k in arith_names], axis=1)
+    other_st = jnp.stack([pk.sel_poly[k] for k in other_names], axis=1)
+    sigma_st = jnp.stack(pk.sigma_poly, axis=1)     # (L, 4, n)
+    roots = sct.roots
 
     def c(name):
-        return FV(ch[name][:, None, None])
+        return FV(ch[name][:, None])
 
-    a, b, cw, d = ev(0), ev(1), ev(2), ev(3)
-    a_n, b_n, d_n = nxt(0), nxt(1), nxt(3)
-    zF, z_n = ev(4), nxt(4)
-    z2F, z2_n = ev(5), nxt(5)
-    piF = ev(6)
-    l1F = ev(7)
+    def body(acc, xs):
+        shift, shift_inv, vh_inv_j, comb_j = xs
+        # shift: (L, n) powers of s_j; comb_j: (L, 8) = combine_c[:, :, j]
 
-    sel = {k: FV(v) for k, v in pk.sel_sub.items()}
-    sig = [FV(v) for v in pk.sigma_sub]
-    # linear poly X evals on the sub-cosets: s_j * w^p (separable)
-    xF = FV(mont.mont_mul(FR, shift[:, :, 1:2], sct.roots[:, None, :]))
+        def evals(st):
+            shifted = mont.mont_mul(FR, st, shift[:, None, :])
+            return jntt.transform_last(plan, shifted, False)
 
-    arith = W.arithmetic_constraint(
-        sel["q_arith"], sel["q_m"], sel["q_l"], sel["q_r"], sel["q_o"],
-        sel["q_4"], sel["q_c"], sel["q_hl"], sel["q_hr"], sel["q_h4"],
-        a, b, cw, d)
-    rng = sel["q_range"] * W.range_constraint(
-        c("range"), a, b, cw, d, d_n)
-    lgc = sel["q_logic"] * W.logic_constraint(
-        c("logic"), a, b, cw, d, a_n, b_n, d_n, sel["q_c"])
-    fbsm = sel["q_fixed_group_add"] * W.fbsm_constraint(
-        c("fbsm"), a, b, cw, d, a_n, b_n, d_n, sel["q_l"], sel["q_r"],
-        sel["q_c"], FV.const(JUBJUB_A), FV.const(JUBJUB_D))
-    ca = sel["q_variable_group_add"] * W.ca_constraint(
-        c("ca"), a, b, cw, d, a_n, b_n, d_n,
-        FV.const(JUBJUB_A), FV.const(JUBJUB_D))
-    gate = arith + piF + rng + lgc + fbsm + ca
+        E = evals(base_st)
 
-    alpha = c("alpha")
-    l1_alpha_sq = l1F * alpha * alpha
-    perm = W.permutation_quotient_term(
-        xF, sig[0], sig[1], sig[2], sig[3], a, b, cw, d,
-        zF, z_n, alpha, l1_alpha_sq, c("beta"), c("gamma"),
-        FV.const(K1), FV.const(K2), FV.const(K3))
+        def ev(i):
+            return FV(E[:, i])
 
-    if degenerate:
-        # f = t = h1 = h2 = 0 identically: the lookup term collapses to
-        # scalar-coefficient combinations of z2, z2_next, l1 and q_lookup
-        # (same algebra as widgets_jax.lookup_quotient_term with zeros).
-        ls = c("lookup")
-        ls2 = ls.sqr()
-        ls3 = ls2 * ls
-        one = FV.one()
-        opd = c("delta") + one
-        epsF = c("epsilon")
-        eps_opd = epsF * opd
-        compressed = W.lc4(a, b, cw, d, c("zeta"))
-        term_a = sel["q_lookup"] * compressed * ls
-        term_b = z2F * (opd * epsF * eps_opd) * ls2
-        term_c = -(z2_n * eps_opd * eps_opd * ls2)
-        term_d = (z2F - one) * l1F * ls3
-        lkp = term_a + term_b + term_c + term_d
-    else:
-        fF = ev(8)
-        tF, t_n = ev(9), nxt(9)
-        h1F, h1_n = ev(10), nxt(10)
-        h2F = ev(11)
-        lkp = W.lookup_quotient_term(
-            sel["q_lookup"], a, b, cw, d, fF, tF, t_n, h1F, h1_n, h2F,
-            z2F, z2_n, l1F, c("delta"), c("epsilon"), c("zeta"),
-            c("lookup"))
+        def nxt(i):
+            # "next gate" on the 8n domain (m -> m+8) is roll(-1) within
+            # the same sub-coset (index map m = 8p + j)
+            return FV(jnp.roll(E[:, i], -1, axis=-1))
 
-    numer = gate + perm + lkp
-    Q = mont.mont_mul(FR, numer.v, sct.vh_inv[:, :, None])
-    Dq = jntt.transform_last(plan, Q, True)         # plain n-INTT per j
-    D = mont.mont_mul(FR, Dq, sct.shift_inv_pows)   # (L, 8, n)
-    # t_{k+nq} = sum_j combine_c[q, j] * D_j[k]
-    prod = mont.mont_mul(FR, D[:, None], sct.combine_c[:, :, :, None])
-    return _sum_axis(prod, 2)                       # (L, 8, n)
+        a, b, cw, d = ev(0), ev(1), ev(2), ev(3)
+        a_n, b_n, d_n = nxt(0), nxt(1), nxt(3)
+        zF, z_n = ev(4), nxt(4)
+        z2F, z2_n = ev(5), nxt(5)
+        piF = ev(6)
+        l1F = ev(7)
+
+        Ea = evals(arith_st)
+        sel_a = {k: FV(Ea[:, i]) for i, k in enumerate(arith_names)}
+        arith = W.arithmetic_constraint(
+            sel_a["q_arith"], sel_a["q_m"], sel_a["q_l"], sel_a["q_r"],
+            sel_a["q_o"], sel_a["q_4"], sel_a["q_c"], sel_a["q_hl"],
+            sel_a["q_hr"], sel_a["q_h4"], a, b, cw, d)
+        q_l, q_r, q_c = sel_a["q_l"], sel_a["q_r"], sel_a["q_c"]
+
+        Eo = evals(other_st)
+        sel_o = {k: FV(Eo[:, i]) for i, k in enumerate(other_names)}
+        rng = sel_o["q_range"] * W.range_constraint(
+            c("range"), a, b, cw, d, d_n)
+        lgc = sel_o["q_logic"] * W.logic_constraint(
+            c("logic"), a, b, cw, d, a_n, b_n, d_n, q_c)
+        fbsm = sel_o["q_fixed_group_add"] * W.fbsm_constraint(
+            c("fbsm"), a, b, cw, d, a_n, b_n, d_n, q_l, q_r,
+            q_c, FV.const(JUBJUB_A), FV.const(JUBJUB_D))
+        ca = sel_o["q_variable_group_add"] * W.ca_constraint(
+            c("ca"), a, b, cw, d, a_n, b_n, d_n,
+            FV.const(JUBJUB_A), FV.const(JUBJUB_D))
+        gate = arith + piF + rng + lgc + fbsm + ca
+
+        Eg = evals(sigma_st)
+        sig = [FV(Eg[:, i]) for i in range(4)]
+        # linear poly X evals on sub-coset j: s_j * w^p
+        xF = FV(mont.mont_mul(FR, shift[:, 1:2], roots))
+        alpha = c("alpha")
+        l1_alpha_sq = l1F * alpha * alpha
+        perm = W.permutation_quotient_term(
+            xF, sig[0], sig[1], sig[2], sig[3], a, b, cw, d,
+            zF, z_n, alpha, l1_alpha_sq, c("beta"), c("gamma"),
+            FV.const(K1), FV.const(K2), FV.const(K3))
+
+        if degenerate:
+            # f = t = h1 = h2 = 0 identically: the lookup term collapses to
+            # scalar-coefficient combinations of z2, z2_next, l1, q_lookup
+            # (same algebra as widgets_jax.lookup_quotient_term with zeros).
+            ls = c("lookup")
+            ls2 = ls.sqr()
+            ls3 = ls2 * ls
+            one = FV.one()
+            opd = c("delta") + one
+            epsF = c("epsilon")
+            eps_opd = epsF * opd
+            compressed = W.lc4(a, b, cw, d, c("zeta"))
+            term_a = sel_o["q_lookup"] * compressed * ls
+            term_b = z2F * (opd * epsF * eps_opd) * ls2
+            term_c = -(z2_n * eps_opd * eps_opd * ls2)
+            term_d = (z2F - one) * l1F * ls3
+            lkp = term_a + term_b + term_c + term_d
+        else:
+            fF = ev(8)
+            tF, t_n = ev(9), nxt(9)
+            h1F, h1_n = ev(10), nxt(10)
+            h2F = ev(11)
+            lkp = W.lookup_quotient_term(
+                sel_o["q_lookup"], a, b, cw, d, fF, tF, t_n, h1F, h1_n,
+                h2F, z2F, z2_n, l1F, c("delta"), c("epsilon"), c("zeta"),
+                c("lookup"))
+
+        numer = gate + perm + lkp
+        Q = mont.mont_mul(FR, numer.v, vh_inv_j[:, None])
+        Dq = jntt.transform_last(plan, Q, True)     # plain n-INTT
+        D = mont.mont_mul(FR, Dq, shift_inv)        # (L, n)
+        # t_{k+nq} += combine_c[q, j] * D_j[k]
+        contrib = mont.mont_mul(FR, D[:, None, :], comb_j[:, :, None])
+        return mont.add(FR, acc, contrib), None
+
+    xs = (jnp.moveaxis(sct.shift_pows, 1, 0),       # (8, L, n)
+          jnp.moveaxis(sct.shift_inv_pows, 1, 0),
+          jnp.moveaxis(sct.vh_inv, 1, 0),           # (8, L)
+          jnp.moveaxis(sct.combine_c, 2, 0))        # (8, L, 8) over j
+    acc0 = jnp.zeros((L, 8, n), dtype=U32)
+    acc, _ = jax.lax.scan(body, acc0, xs)
+    return acc                                      # (L, 8, n)
 
 
 @jax.jit
