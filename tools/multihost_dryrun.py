@@ -1,0 +1,133 @@
+"""Multi-host (DCN-analog) dryrun: the meshed prover primitives on a
+2-process JAX distributed mesh.
+
+The reference is strictly single-node/single-GPU (SURVEY.md §2.3: no
+NCCL/MPI anywhere); multi-host scaling is this framework's TPU-native
+addition. On real hardware the same code spans TPU pods: every process
+calls `jax.distributed.initialize`, the named Mesh covers all chips, and
+XLA routes `all_to_all`/`all_gather` over ICI within a host and DCN across
+hosts. This dryrun exercises exactly that control/communication path with
+2 processes x 4 virtual CPU devices.
+
+Run (single command; it spawns and checks both workers):
+
+    python tools/multihost_dryrun.py
+
+Each worker:
+  1. builds a global 8-device mesh spanning both processes;
+  2. runs the sharded four-step NTT (all_to_all transpose across the
+     process boundary = the DCN path) and checks it against the
+     single-device oracle;
+  3. runs the sharded MSM window (per-device Pippenger partials +
+     all_gather over the process boundary) and checks against the host
+     curve oracle.
+"""
+
+import os
+import random
+import socket
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+NPROC = 2
+LOCAL_DEVICES = 4
+
+
+def worker(proc_id: int, port: int):
+    import jax
+    # the axon sitecustomize force-registers the TPU platform; the env var
+    # alone is not enough (same workaround as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=NPROC, process_id=proc_id)
+    assert jax.process_count() == NPROC
+    assert len(jax.devices()) == NPROC * LOCAL_DEVICES
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from zprize_tpu.params import R_MOD
+    from zprize_tpu.fields.mont import FR
+    from zprize_tpu.parallel import mesh as pmesh
+
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+
+    # ---- 1. four-step NTT with the all_to_all transpose crossing DCN ----
+    rng = random.Random(77)
+    fsp = pmesh.FourStepPlan(4, 4)                      # n = 256
+    rows = [[rng.randrange(R_MOD) for _ in range(fsp.n2)]
+            for _ in range(fsp.n1)]
+    flat = [rows[i1][i2] for i1 in range(fsp.n1) for i2 in range(fsp.n2)]
+    host = np.asarray(FR.to_mont_host(flat)).reshape(FR.L, fsp.n1, fsp.n2)
+    x = jax.device_put(host, NamedSharding(mesh, P(None, "shard")))
+    out = pmesh.four_step_ntt(fsp, mesh, x)
+    # output is sharded over k2; gather it for the host check
+    rep = jax.device_put(out, NamedSharding(mesh, P()))
+    got = [FR.from_mont_host(np.asarray(rep[:, i, :]))
+           for i in range(fsp.n1)]
+    expect = pmesh.reference_four_step_check(fsp, rows)
+    assert got == expect, "four-step NTT mismatch across processes"
+    print(f"[proc {proc_id}] four-step NTT over {NPROC}-process mesh: OK",
+          flush=True)
+
+    # ---- 2. sharded MSM window partials across the process boundary ----
+    from zprize_tpu.curve.g1 import (affine_points_to_device,
+                                     xyzz_to_affine_host)
+    from zprize_tpu.ref.curve import G1_GEN, g1_mul, g1_add
+    n = 32
+    pts = [g1_mul(G1_GEN, rng.randrange(1, 500)) for _ in range(n)]
+    digs = np.asarray([rng.randrange(16) for _ in range(n)],
+                      dtype=np.uint32)
+    xh, yh, _inf = affine_points_to_device(pts)
+    xg = jax.device_put(np.asarray(xh), NamedSharding(mesh, P(None, "shard")))
+    yg = jax.device_put(np.asarray(yh), NamedSharding(mesh, P(None, "shard")))
+    dg = jax.device_put(digs, NamedSharding(mesh, P("shard")))
+    outp = pmesh.sharded_msm_window_partials(mesh, xg, yg, dg,
+                                             window_bits=4, capacity=8)
+    got_pt = xyzz_to_affine_host({k: np.asarray(v)[:, None]
+                                  for k, v in outp.items()})[0]
+    expect_pt = None
+    for p, d in zip(pts, digs):
+        expect_pt = g1_add(expect_pt, g1_mul(p, int(d)))
+    assert got_pt == expect_pt, "sharded MSM mismatch across processes"
+    print(f"[proc {proc_id}] sharded MSM window over {NPROC}-process mesh: "
+          f"OK", flush=True)
+    print(f"[proc {proc_id}] MULTIHOST DRYRUN PASS", flush=True)
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--proc":
+        worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
+
+    with socket.socket() as s:              # pick a free coordinator port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + f" --xla_force_host_platform_device_count="
+                          f"{LOCAL_DEVICES}")
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--proc", str(i),
+         str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(NPROC)]
+    ok = True
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        sys.stdout.write(out)
+        if p.returncode != 0 or "MULTIHOST DRYRUN PASS" not in out:
+            ok = False
+            print(f"[parent] proc {i} FAILED (rc={p.returncode})")
+    print("MULTIHOST: " + ("PASS" if ok else "FAIL"))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

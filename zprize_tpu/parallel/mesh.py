@@ -18,7 +18,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..params import R_MOD
 from ..fields import mont
@@ -34,6 +34,26 @@ M = R_MOD
 def make_mesh(n_devices=None, axis="shard"):
     devs = jax.devices()[:n_devices] if n_devices else jax.devices()
     return Mesh(np.array(devs), (axis,))
+
+
+def mesh_put(mesh, spec, arr):
+    """Place a host/process-local array onto `mesh` with `spec`. Works on
+    multi-process meshes (each process transfers only its addressable
+    shards), unlike passing a process-local jax.Array straight into a
+    meshed jit — which raises on non-addressable devices."""
+    return jax.device_put(np.asarray(arr), NamedSharding(mesh, spec))
+
+
+def mesh_replicate(mesh, tree):
+    """device_put every array leaf of a pytree fully replicated over the
+    mesh. Tables consumed by meshed programs must enter as ARGUMENTS with
+    a sharding on that mesh — a closed-over or process-local array spans
+    non-addressable devices on a multi-process (DCN) mesh and is rejected
+    by jit."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), sh)
+        if isinstance(x, jax.Array) else x, tree)
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +89,21 @@ class FourStepPlan:
         self.twiddle, self.twiddle_inv = jntt._host_build(build)
         self.plan1 = jntt.get_plan(log_n1)
         self.plan2 = jntt.get_plan(log_n2)
+        self._mesh_cache = {}
+
+    def mesh_tables(self, mesh, axis="shard"):
+        """(twiddle, twiddle_inv, plan1, plan2) placed on `mesh`: twiddles
+        sharded over n1 (matching the row sharding), plans replicated.
+        Cached per (mesh, axis)."""
+        key = (mesh, axis)
+        if key not in self._mesh_cache:
+            self._mesh_cache[key] = (
+                mesh_put(mesh, P(None, axis), self.twiddle),
+                mesh_put(mesh, P(None, axis), self.twiddle_inv),
+                mesh_replicate(mesh, self.plan1),
+                mesh_replicate(mesh, self.plan2),
+            )
+        return self._mesh_cache[key]
 
 
 def _local_ntt(plan, v, invert=False):
@@ -84,11 +119,11 @@ def four_step_ntt(fsp: FourStepPlan, mesh: Mesh, x_rows, axis="shard"):
     """x_rows: (L, n1, n2) device array (x[i1 + n1*i2] at [:, i1, i2]),
     sharded on axis 1. Returns (L, n1, n2) R with R[:, k1, k2] =
     X[k2 + n2*k1], sharded on axis 2."""
-    tw = fsp.twiddle
+    tw, _twi, p1, p2 = fsp.mesh_tables(mesh, axis)
 
-    def step(local_rows, local_tw):
+    def step(local_rows, local_tw, p1, p2):
         # 1. length-n2 NTT along each local row (root w^n1 == canonical n2)
-        b = _local_ntt(fsp.plan2, local_rows)
+        b = _local_ntt(p2, local_rows)
         # 2. twiddle
         c = mont.mont_mul(FR, b, local_tw)
         # 3. transpose across devices: (L, n1/D, n2) -> (L, n1, n2/D)
@@ -96,14 +131,14 @@ def four_step_ntt(fsp: FourStepPlan, mesh: Mesh, x_rows, axis="shard"):
                                tiled=True)
         # 4. length-n1 NTT along i1 for each local k2 column
         t = jnp.swapaxes(t, 1, 2)                   # (L, n2/D, n1)
-        r = _local_ntt(fsp.plan1, t)
+        r = _local_ntt(p1, t)
         # local result r[:, k2_local, k1] -> emit as (L, n1, n2/D)
         return jnp.swapaxes(r, 1, 2)
 
     f = jax.shard_map(step, mesh=mesh,
-                      in_specs=(P(None, axis), P(None, axis)),
+                      in_specs=(P(None, axis), P(None, axis), P(), P()),
                       out_specs=P(None, None, axis))
-    return f(x_rows, tw)
+    return f(x_rows, tw, p1, p2)
 
 
 def four_step_intt_natural(fsp: FourStepPlan, mesh: Mesh, evals,
@@ -114,20 +149,21 @@ def four_step_intt_natural(fsp: FourStepPlan, mesh: Mesh, evals,
     n = fsp.n1 * fsp.n2
     L = evals.shape[0]
     rows = jnp.swapaxes(evals.reshape(L, fsp.n2, fsp.n1), 1, 2)
+    _tw, twi, p1, p2 = fsp.mesh_tables(mesh, axis)
 
-    def step(local_rows, local_tw):
-        b = _local_ntt(fsp.plan2, local_rows, invert=True)
+    def step(local_rows, local_tw, p1, p2):
+        b = _local_ntt(p2, local_rows, invert=True)
         c = mont.mont_mul(FR, b, local_tw)
         t = jax.lax.all_to_all(c, axis, split_axis=2, concat_axis=1,
                                tiled=True)
         t = jnp.swapaxes(t, 1, 2)
-        r = _local_ntt(fsp.plan1, t, invert=True)
+        r = _local_ntt(p1, t, invert=True)
         return jnp.swapaxes(r, 1, 2)
 
     f = jax.shard_map(step, mesh=mesh,
-                      in_specs=(P(None, axis), P(None, axis)),
+                      in_specs=(P(None, axis), P(None, axis), P(), P()),
                       out_specs=P(None, None, axis))
-    out_rows = f(rows, fsp.twiddle_inv)      # out[:, k1, k2] = x[k2 + n2*k1]
+    out_rows = f(rows, twi, p1, p2)          # out[:, k1, k2] = x[k2 + n2*k1]
     return out_rows.reshape(L, n)
 
 

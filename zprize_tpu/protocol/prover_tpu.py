@@ -84,11 +84,14 @@ class ProverConfig:
     scaling over a mesh is this framework's TPU-native addition."""
 
     def __init__(self, msm_backend="device", msm_window_bits=None,
-                 mesh=None, mesh_axis="shard"):
+                 mesh=None, mesh_axis="shard", device=None):
         self.msm_backend = msm_backend
         self.msm_window_bits = msm_window_bits
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # explicit single-device placement (whole-proof DP: one proof per
+        # device, see protocol/batch.py); mutually exclusive with `mesh`
+        self.device = device
 
     def shard_last(self, tree):
         """device_put every (L, ..., m) leaf with the LAST axis sharded
@@ -600,8 +603,8 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     mark = _phase_timer()
     n = dev_pk.n
     log_n = dev_pk.log_n
-    plan = jntt.get_plan(log_n).warm()
-    sct = jntt.get_subcoset_tables(log_n)
+    plan = jntt.get_plan(log_n, cfg.device).warm()
+    sct = jntt.get_subcoset_tables(log_n, cfg.device)
     t = transcript
 
     if cfg.mesh is not None:
