@@ -17,11 +17,15 @@ are missing (slow but correct), so a cold driver invocation still lands a
 number. Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import faulthandler
 import json
 import os
 import signal
 import sys
 import time
+
+# kill -USR1 <pid> dumps all thread stacks (where is the lowering/compile?)
+faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 import numpy as np
 import jax
@@ -246,7 +250,7 @@ def main():
         height = 6
 
     if not setup_only:
-        deadline = int(os.environ.get("BENCH_DEADLINE", "3000"))
+        deadline = int(os.environ.get("BENCH_DEADLINE", "540"))
         signal.signal(signal.SIGALRM, _watchdog)
         signal.alarm(deadline)
 

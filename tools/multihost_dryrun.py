@@ -119,12 +119,20 @@ def main():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(NPROC)]
     ok = True
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
-        sys.stdout.write(out)
-        if p.returncode != 0 or "MULTIHOST DRYRUN PASS" not in out:
-            ok = False
-            print(f"[parent] proc {i} FAILED (rc={p.returncode})")
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=900)
+            sys.stdout.write(out)
+            if p.returncode != 0 or "MULTIHOST DRYRUN PASS" not in out:
+                ok = False
+                print(f"[parent] proc {i} FAILED (rc={p.returncode})")
+    finally:
+        # a hung worker must not orphan its sibling (both hold the
+        # coordinator port); kill the exact PIDs we spawned
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                ok = False
     print("MULTIHOST: " + ("PASS" if ok else "FAIL"))
     sys.exit(0 if ok else 1)
 

@@ -180,7 +180,7 @@ def _pad_to(x, n_pad):
     return jnp.pad(x, pad)
 
 
-def _grid_call(kern, n_in, n_out_L, inputs, blk=BLK, interpret=False):
+def _grid_call_impl(kern, n_out_L, blk, interpret, *inputs):
     """Run kern over (L_i, n) inputs blocked along the last axis.
     n_out_L: list of output L values; all outputs are (L, n)."""
     n = inputs[0].shape[-1]
@@ -200,6 +200,26 @@ def _grid_call(kern, n_in, n_out_L, inputs, blk=BLK, interpret=False):
     if n_pad != n:
         outs = [o[:, :n] for o in outs]
     return outs
+
+
+# One cached jax.jit wrapper per (kernel, out-layout, blk, interpret): a
+# kernel body unrolls L^2-scale limb statements, so tracing it is ~10^4
+# jaxpr eqns — without the nested-jit cache EVERY call site (hundreds per
+# prover round program: each tree-reduce level, each field op in a widget
+# chain) re-traced the body, which is where the ~200 s/shape Python
+# lowering of round 3 went. Nested jit caches by (fn identity, avals):
+# each unique shape traces once per process.
+_JIT_CALLS = {}
+
+
+def _grid_call(kern_key, kern, n_out_L, inputs, blk=BLK, interpret=False):
+    jkey = (kern_key, tuple(n_out_L), blk, interpret)
+    f = _JIT_CALLS.get(jkey)
+    if f is None:
+        f = jax.jit(partial(_grid_call_impl, kern, tuple(n_out_L), blk,
+                            interpret))
+        _JIT_CALLS[jkey] = f
+    return f(*inputs)
 
 
 def _rd(ref):
@@ -243,22 +263,26 @@ def _mk_unop(core):
 
 def mul(C, a, b, interpret=False):
     kern = _get(C, "mul", _mk_binop(mul_core))
-    return _grid_call(kern, 2, [C.L], [a, b], interpret=interpret)[0]
+    return _grid_call((C.name, "mul"), kern, [C.L], [a, b],
+                      interpret=interpret)[0]
 
 
 def add(C, a, b, interpret=False):
     kern = _get(C, "add", _mk_binop(add_core))
-    return _grid_call(kern, 2, [C.L], [a, b], interpret=interpret)[0]
+    return _grid_call((C.name, "add"), kern, [C.L], [a, b],
+                      interpret=interpret)[0]
 
 
 def sub(C, a, b, interpret=False):
     kern = _get(C, "sub", _mk_binop(sub_core))
-    return _grid_call(kern, 2, [C.L], [a, b], interpret=interpret)[0]
+    return _grid_call((C.name, "sub"), kern, [C.L], [a, b],
+                      interpret=interpret)[0]
 
 
 def neg(C, a, interpret=False):
     kern = _get(C, "neg", _mk_unop(neg_core))
-    return _grid_call(kern, 1, [C.L], [a], interpret=interpret)[0]
+    return _grid_call((C.name, "neg"), kern, [C.L], [a],
+                      interpret=interpret)[0]
 
 
 def mul_add_sub(C, u, v, w, interpret=False):
@@ -271,7 +295,8 @@ def mul_add_sub(C, u, v, w, interpret=False):
             _wr(m_ref, sub_core(C, u, vw))
         return kern
     kern = _get(C, "butterfly", build)
-    return _grid_call(kern, 3, [C.L, C.L], [u, v, w], interpret=interpret)
+    return _grid_call((C.name, "butterfly"), kern, [C.L, C.L], [u, v, w],
+                      interpret=interpret)
 
 
 def mul3(C, a, b, c, interpret=False):
@@ -282,7 +307,8 @@ def mul3(C, a, b, c, interpret=False):
             _wr(o_ref, mul_core(C, ab, _rd(c_ref)))
         return kern
     kern = _get(C, "mul3", build)
-    return _grid_call(kern, 3, [C.L], [a, b, c], interpret=interpret)[0]
+    return _grid_call((C.name, "mul3"), kern, [C.L], [a, b, c],
+                      interpret=interpret)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -360,8 +386,8 @@ def xyzz_add(C, p, q, interpret=False):
         return kern
     kern = _get(C, "xyzz_add", build)
     blk = 2048 if C.L >= 24 else 4096
-    return _grid_call(kern, 2, [4 * C.L], [p, q], blk=blk,
-                      interpret=interpret)[0]
+    return _grid_call((C.name, "xyzz_add"), kern, [4 * C.L], [p, q],
+                      blk=blk, interpret=interpret)[0]
 
 
 def _affine_lift_core(C, x, y):
@@ -384,8 +410,8 @@ def xyzz_add_mixed(C, p, qx, qy, interpret=False):
         return kern
     kern = _get(C, "xyzz_add_mixed", build)
     blk = 2048 if C.L >= 24 else 4096
-    return _grid_call(kern, 3, [4 * C.L], [p, qx, qy], blk=blk,
-                      interpret=interpret)[0]
+    return _grid_call((C.name, "xyzz_add_mixed"), kern, [4 * C.L],
+                      [p, qx, qy], blk=blk, interpret=interpret)[0]
 
 
 def xyzz_add_affine2(C, px, py, qx, qy, interpret=False):
@@ -399,5 +425,5 @@ def xyzz_add_affine2(C, px, py, qx, qy, interpret=False):
         return kern
     kern = _get(C, "xyzz_add_affine2", build)
     blk = 2048 if C.L >= 24 else 4096
-    return _grid_call(kern, 4, [4 * C.L], [px, py, qx, qy], blk=blk,
-                      interpret=interpret)[0]
+    return _grid_call((C.name, "xyzz_add_affine2"), kern, [4 * C.L],
+                      [px, py, qx, qy], blk=blk, interpret=interpret)[0]

@@ -38,8 +38,30 @@ def _install_cpu_fence():
             return _comp.backend_compile_and_load(
                 backend, computation, executable_devices, compile_options,
                 host_callbacks)
-        return _orig(backend, computation, devices, compile_options,
-                     host_callbacks, executable_devices, pgle_profiler)
+        # the axon remote-compile tunnel occasionally drops mid-response
+        # ("response body closed before all bytes were read"); a large
+        # program compile is minutes of sunk cost — retry transient
+        # failures instead of killing the prove/bench process
+        import time as _time
+        last = None
+        for attempt in range(4):
+            try:
+                return _orig(backend, computation, devices, compile_options,
+                             host_callbacks, executable_devices,
+                             pgle_profiler)
+            except Exception as e:  # jax.errors.JaxRuntimeError etc.
+                msg = str(e)
+                transient = ("read body" in msg or "remote_compile" in msg
+                             or "UNAVAILABLE" in msg
+                             or "Connection" in msg)
+                if not transient:
+                    raise
+                last = e
+                print(f"# remote compile transient failure "
+                      f"(attempt {attempt + 1}/4): {msg[:120]}",
+                      flush=True)
+                _time.sleep(5.0 * (attempt + 1))
+        raise last
 
     _comp.compile_or_get_cached = _fenced
     _FENCED = True

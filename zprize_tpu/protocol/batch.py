@@ -13,6 +13,7 @@ sequential proving (same transcript, same programs — only placement
 differs).
 """
 
+import copy
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -54,29 +55,21 @@ def prove_many(witnesses, dev_pk, dev_srs, base_transcript, cfg=None,
         pks, srss = [], []
         for d in devices:
             pks.append(_replicate(dev_pk, d))
-            s = DevSRS.__new__(DevSRS)
-            s.ref = dev_srs.ref
-            s.size = dev_srs.size
-            s.points = _replicate(dev_srs.points, d)
-            srss.append(s)
-
-        from .prover_tpu import ProverWitness
+            srss.append(dev_srs.replicate(d))
 
         def run(i):
             k = i % len(devices)
             d = devices[k]
-            w = witnesses[i]
-            wr = ProverWitness.__new__(ProverWitness)
-            wr.wires_dev = _replicate(list(w.wires_dev), d)
-            wr.public_inputs = w.public_inputs
-            wr.q_lookup_zero_mask = _replicate(w.q_lookup_zero_mask, d)
-            dcfg = ProverConfig(msm_backend=cfg.msm_backend,
-                                msm_window_bits=cfg.msm_window_bits,
-                                device=d)
+            w = witnesses[i].replicate(d)
+            # shallow-copy the caller's cfg so EVERY field (incl. ones
+            # added later) propagates; only placement is overridden
+            dcfg = copy.copy(cfg)
+            dcfg.device = d
+            dcfg.mesh = None
             # thread-local default device: challenge scalars created inside
             # prove_tpu land next to the proof's arrays
             with jax.default_device(d):
-                proofs[i] = prove_tpu(wr, pks[k], srss[k],
+                proofs[i] = prove_tpu(w, pks[k], srss[k],
                                       base_transcript.clone(), dcfg)
 
         with ThreadPoolExecutor(max_workers=len(devices)) as ex:

@@ -26,7 +26,11 @@ def save_prover_key(pk: DevProverKey, path: str):
         arrays[f"sige_{i}"] = np.asarray(v)
     for i, v in enumerate(pk.table_cols):
         arrays[f"tbl_{i}"] = np.asarray(v)
-    np.savez_compressed(path, **arrays)
+    # atomic: a death mid-save must not leave a half-written pk that the
+    # scored bench then trusts (round-3 failure mode: empty cache dir)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def load_prover_key(path: str) -> DevProverKey:
@@ -58,8 +62,10 @@ def save_verifier_key(vk: VerifierKey, path: str):
         "commitments": {k: _pt(v) for k, v in vk.commitments.items()},
         "table_commitments": [_pt(v) for v in vk.table_commitments],
     }
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(data, f)
+    os.replace(tmp, path)
 
 
 def load_verifier_key(path: str) -> VerifierKey:

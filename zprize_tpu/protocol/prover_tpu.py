@@ -123,6 +123,16 @@ class DevSRS:
         self.points = (jg1.affine_points_to_device(srs.powers_of_g)
                        if device else None)
 
+    def replicate(self, device):
+        """Copy with device arrays placed on `device` (whole-proof DP).
+        Field list lives here so new attributes propagate automatically."""
+        s = DevSRS.__new__(DevSRS)
+        s.__dict__.update(self.__dict__)
+        s.points = jax.tree.map(
+            lambda x: jax.device_put(x, device) if isinstance(x, jax.Array)
+            else x, self.points)
+        return s
+
 
 class DevProverKey:
     """Device-resident prover key: selector/sigma COEFFICIENT polys plus the
@@ -344,6 +354,15 @@ class ProverWitness:
         col = [x % M for x in cs.q_lookup] + [0] * (n - len(cs.q_lookup))
         mask = mont.is_zero(_to_dev(col))
         return cls(wires_dev, dict(cs.public_inputs), mask)
+
+    def replicate(self, device):
+        """Copy with device arrays placed on `device` (whole-proof DP)."""
+        put = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.device_put(x, device) if isinstance(x, jax.Array)
+            else x, t)
+        return ProverWitness(put(list(self.wires_dev)),
+                             self.public_inputs,
+                             put(self.q_lookup_zero_mask))
 
 
 def _phase_timer():
