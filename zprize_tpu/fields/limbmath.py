@@ -1,0 +1,284 @@
+"""Array-wise limb field math — the ONE implementation of 16-bit-limb
+Montgomery arithmetic over (rows, ...) uint32 arrays, used by BOTH
+execution contexts:
+
+  * the XLA backend (`mont.py`), where arrays are (L, n) HBM tensors and
+    XLA fuses the elementwise graph;
+  * Pallas TPU kernel bodies (`pkern.py`), where arrays are (L, blk)
+    VMEM blocks loaded from refs.
+
+Why array-wise (limbs as a leading axis of ONE array) instead of the
+round-2/3 list-of-limb-vectors kernels: a list-based CIOS multiply
+unrolls L^2 (= 576 for Fq) scalar-statement chains, so ONE xyzz point-add
+kernel body traced ~140k jaxpr equations — minutes of pure-Python
+lowering per shape (measured round 4). The column-sum formulation below
+expresses the same product in O(L) array ops (~30x fewer equations), the
+carry resolution is one Kogge-Stone over the limb axis, and the resulting
+VPU code is wider per instruction.
+
+Counterpart of the reference's CUDA `mont_t` CIOS kernels
+(`lib/PLONK/utils/mont/cuda/ff/mont_t.cuh`) — redesigned for a vector
+machine: no sequential carry chains, no per-limb branches.
+
+All values are 16-bit limbs in uint32 lanes, little-endian along axis 0.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LIMB_BITS = 16
+MASK = np.uint32((1 << LIMB_BITS) - 1)
+U32 = jnp.uint32
+
+
+class LimbParams:
+    """Static per-field constants (numpy, baked into traces)."""
+
+    def __init__(self, mod: int, L: int):
+        self.modint = mod
+        self.L = L
+        self.mod_np = np.array(
+            [(mod >> (LIMB_BITS * i)) & 0xFFFF for i in range(L)],
+            dtype=np.uint32)
+        nprime = (-pow(mod, -1, 1 << (LIMB_BITS * L))) % (1 << (LIMB_BITS * L))
+        self.nprime_np = np.array(
+            [(nprime >> (LIMB_BITS * i)) & 0xFFFF for i in range(L)],
+            dtype=np.uint32)
+        one_m = pow(2, LIMB_BITS * L, mod)
+        self.one_mont_np = np.array(
+            [(one_m >> (LIMB_BITS * i)) & 0xFFFF for i in range(L)],
+            dtype=np.uint32)
+        # (3, L): [mod, nprime, one_mont] — passed as a kernel INPUT in the
+        # Pallas context (pallas_call rejects captured constant arrays)
+        self.consts_np = np.stack(
+            [self.mod_np, self.nprime_np, self.one_mont_np])
+
+    @staticmethod
+    def _rs(arr, ndim):
+        return arr.reshape((arr.shape[0],) + (1,) * (ndim - 1))
+
+    def mod(self, ndim):
+        return self._rs(jnp.asarray(self.mod_np, dtype=U32), ndim)
+
+    def nprime(self, ndim):
+        return self._rs(jnp.asarray(self.nprime_np, dtype=U32), ndim)
+
+    def one(self, ndim):
+        return self._rs(jnp.asarray(self.one_mont_np, dtype=U32), ndim)
+
+    def bind(self, consts):
+        """consts: a (3, L) device array (e.g. loaded from a kernel ref)
+        -> params whose per-field constants are that array's rows."""
+        return BoundParams(self.L, consts)
+
+
+class BoundParams:
+    """LimbParams backed by runtime arrays instead of trace constants."""
+
+    def __init__(self, L, consts):
+        self.L = L
+        self._c = consts
+
+    @staticmethod
+    def _rs(arr, ndim):
+        return arr.reshape((arr.shape[0],) + (1,) * (ndim - 1))
+
+    def mod(self, ndim):
+        return self._rs(self._c[0], ndim)
+
+    def nprime(self, ndim):
+        return self._rs(self._c[1], ndim)
+
+    def one(self, ndim):
+        return self._rs(self._c[2], ndim)
+
+
+def shift_up(x, d, fill=0):
+    """out[k] = x[k-d] along axis 0 (zero/False fill)."""
+    pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)[:x.shape[0]]
+
+
+def norm_ks(t):
+    """Exact carry normalization of column sums (columns < 2^24).
+    (K, ...) -> (K+1, ...) 16-bit limbs; Kogge-Stone carry resolution.
+    Generate/propagate masks are u32 0/1 (not bool) — Mosaic has no
+    lowering for pads/shifts of i1 vectors."""
+    K = t.shape[0]
+    pad = [(0, 1)] + [(0, 0)] * (t.ndim - 1)
+    t = jnp.pad(t, pad)
+    for _ in range(2):
+        t = (t & MASK) + shift_up(t >> LIMB_BITS, 1)
+    r = t & MASK
+    G = jnp.where((t >> LIMB_BITS) != 0, np.uint32(1), np.uint32(0))
+    P = jnp.where(r == MASK, np.uint32(1), np.uint32(0))
+    d = 1
+    while d < K + 1:
+        G = G | (P & shift_up(G, d))
+        P = P & shift_up(P, d)
+        d <<= 1
+    carry_in = shift_up(G, 1)
+    return (r + carry_in) & MASK
+
+
+def twos_complement_sub(a, b_limbs):
+    """a - b over (L, ...): returns (diff limbs, no_borrow flag)."""
+    L = a.shape[0]
+    t = a + (MASK - b_limbs)
+    # +1 at limb 0 as an iota one-hot (scatter-add has no Mosaic lowering)
+    rows = jax.lax.broadcasted_iota(U32, t.shape, 0)
+    t = t + jnp.where(rows == 0, np.uint32(1), np.uint32(0))
+    f = norm_ks(t)
+    return f[:L], f[L]
+
+
+def conv_cols(a, b, width):
+    """Column sums of the limb-vector product a (La, ...) x b (Lb, ...),
+    truncated to `width` columns — accumulation-loop formulation: O(La)
+    array ops, peak temporaries O(width x batch) (VMEM-friendly for the
+    Pallas context; XLA fuses it identically to the stacked form)."""
+    La = a.shape[0]
+    Lb = b.shape[0]
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    tail = [(0, 0)] * len(bshape)
+    b = jnp.broadcast_to(b, (Lb,) + bshape)
+    T = jnp.zeros((width,) + bshape, dtype=U32)
+    for i in range(min(La, width)):
+        p = a[i] * b                        # (Lb, ...)
+        lo = p & MASK
+        hi = p >> LIMB_BITS
+        # lo lands at columns [i, i+Lb), hi one column up
+        lo_w = min(Lb, width - i)
+        hi_w = min(Lb, width - i - 1)
+        T = T + jnp.pad(lo[:lo_w], [(i, width - i - lo_w)] + tail)
+        if hi_w > 0:
+            T = T + jnp.pad(hi[:hi_w], [(i + 1, width - i - 1 - hi_w)] + tail)
+    return T
+
+
+def cond_sub_mod(P, a, extra_carry=None):
+    """Reduce a (L limbs, normalized) to < mod given an optional carry-out
+    flag from the limb above."""
+    mod = P.mod(a.ndim)
+    diff, no_borrow = twos_complement_sub(a, mod)
+    take = no_borrow != 0
+    if extra_carry is not None:
+        take = jnp.logical_or(take, extra_carry != 0)
+    return jnp.where(take[None], diff, a)
+
+
+def add(P, a, b):
+    f = norm_ks(a + b)
+    return cond_sub_mod(P, f[:P.L], extra_carry=f[P.L])
+
+
+def sub(P, a, b):
+    d, no_borrow = twos_complement_sub(a, b)
+    mod = P.mod(d.ndim)
+    d2 = norm_ks(d + mod)[:P.L]
+    return jnp.where((no_borrow == 0)[None], d2, d)
+
+
+def neg(P, a):
+    mod = jnp.broadcast_to(P.mod(a.ndim), a.shape)
+    d, _ = twos_complement_sub(mod, a)
+    nz = jnp.where(a != 0, np.int32(1), np.int32(0))
+    is_z = jnp.max(nz, axis=0, keepdims=True) == 0
+    return jnp.where(is_z, a, d)
+
+
+def mul(P, a, b):
+    """Montgomery REDC: (a*b + m*N)/R with m = (a*b mod R)*N' mod R."""
+    L = P.L
+    nprime = P.nprime(a.ndim)
+    nmod = P.mod(a.ndim)
+
+    T = conv_cols(a, b, 2 * L + 1)
+    Tlow = T[:L]
+    Tl = Tlow & MASK
+    Th = Tlow >> LIMB_BITS
+    m_cols = conv_cols(Tl, nprime, L) + \
+        shift_up(conv_cols(Th, nprime, L), 1)
+    m = norm_ks(m_cols)[:L]
+    Uc = conv_cols(m, nmod, 2 * L + 1)
+    Xn = norm_ks(T + Uc)
+    r = Xn[L:2 * L]
+    extra = Xn[2 * L]
+    return cond_sub_mod(P, r, extra_carry=extra)
+
+
+def is_zero(a):
+    # i32 max-reduce: bool and unsigned reductions lack Mosaic lowerings
+    nz = jnp.where(a != 0, np.int32(1), np.int32(0))
+    return jnp.max(nz, axis=0) == 0
+
+
+def select(mask, a, b):
+    """mask over batch dims: (batch,) -> limb-broadcast where."""
+    return jnp.where(mask[None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# xyzz curve core (shared by g1.py's XLA path and pkern's fused kernels)
+# ---------------------------------------------------------------------------
+
+def xyzz_double(P, p):
+    """dbl-2008-s-1 (a = 0): 6M + 2S. p: dict of (L, ...) coords."""
+    U = add(P, p["Y"], p["Y"])
+    V = mul(P, U, U)
+    W = mul(P, U, V)
+    S = mul(P, p["X"], V)
+    XX = mul(P, p["X"], p["X"])
+    Mv = add(P, add(P, XX, XX), XX)
+    X3 = sub(P, mul(P, Mv, Mv), add(P, S, S))
+    Y3 = sub(P, mul(P, Mv, sub(P, S, X3)), mul(P, W, p["Y"]))
+    ZZ3 = mul(P, V, p["ZZ"])
+    ZZZ3 = mul(P, W, p["ZZZ"])
+    return {"X": X3, "Y": Y3, "ZZ": ZZ3, "ZZZ": ZZZ3}
+
+
+def xyzz_add(P, p, q):
+    """add-2008-s-1 with full special-case handling: 12M + 2S + selects.
+    Identity is ZZ == 0."""
+    U1 = mul(P, p["X"], q["ZZ"])
+    U2 = mul(P, q["X"], p["ZZ"])
+    S1 = mul(P, p["Y"], q["ZZZ"])
+    S2 = mul(P, q["Y"], p["ZZZ"])
+    Pd = sub(P, U2, U1)
+    R = sub(P, S2, S1)
+    PP = mul(P, Pd, Pd)
+    PPP = mul(P, Pd, PP)
+    Q = mul(P, U1, PP)
+    X3 = sub(P, sub(P, mul(P, R, R), PPP), add(P, Q, Q))
+    Y3 = sub(P, mul(P, R, sub(P, Q, X3)), mul(P, S1, PPP))
+    ZZ3 = mul(P, mul(P, p["ZZ"], q["ZZ"]), PP)
+    ZZZ3 = mul(P, mul(P, p["ZZZ"], q["ZZZ"]), PPP)
+    added = {"X": X3, "Y": Y3, "ZZ": ZZ3, "ZZZ": ZZZ3}
+
+    p_inf = is_zero(p["ZZ"])
+    q_inf = is_zero(q["ZZ"])
+    same_x = is_zero(Pd)
+    same_y = is_zero(R)
+    doubled = xyzz_double(P, p)
+
+    inf_out = jnp.logical_and(same_x, jnp.logical_not(same_y))
+    use_dbl = jnp.logical_and(same_x, same_y)
+    out = {}
+    for k in added:
+        v = added[k]
+        v = select(use_dbl, doubled[k], v)
+        if k in ("ZZ", "ZZZ"):
+            v = select(inf_out, jnp.zeros_like(v), v)
+        v = select(p_inf, q[k], v)
+        v = select(q_inf, p[k], v)
+        out[k] = v
+    return out
+
+
+def affine_lift(P, x, y):
+    """affine (x, y) -> xyzz dict; (0, 0) encodes identity."""
+    inf = jnp.logical_and(is_zero(x), is_zero(y))
+    one = jnp.broadcast_to(P.one(x.ndim), x.shape)
+    zz = select(~inf, one, jnp.zeros_like(x))
+    return {"X": x, "Y": y, "ZZ": zz, "ZZZ": zz}

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..params import R_MOD, Q_MOD
 from .limb import int_to_limbs, ints_to_limbs, limbs_to_ints, LIMB_BITS
+from . import limbmath
 from . import pkern
 
 U32 = jnp.uint32
@@ -54,6 +55,7 @@ class FieldCtx:
         self.one_mont = int_to_limbs(self.R, L)
         self.inv_exp_bits = [(mod - 2) >> i & 1
                              for i in range((mod - 2).bit_length())]
+        self.P = limbmath.LimbParams(mod, L)
         self.K = pkern.KCfg(mod, L, name)
 
     # ---------------- host conversions (limbs-leading) ----------------
@@ -118,87 +120,9 @@ def _pl(cfg, fn, *arrays, n_out=1):
 
 
 # ---------------------------------------------------------------------------
-# XLA fallback machinery (limbs-leading throughout)
+# XLA fallback machinery — the algorithms live in `limbmath.py` (shared
+# with the Pallas kernel bodies); this layer only broadcasts and jit-shares
 # ---------------------------------------------------------------------------
-
-def _shift_up(x, d, fill=0):
-    """out[k] = x[k-d] along axis 0 (zero/False fill)."""
-    pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
-    return jnp.pad(x, pad, constant_values=fill)[:x.shape[0]]
-
-
-def _norm_ks(t):
-    """Exact carry normalization of column sums (cols < 2^24).
-    Input (K, ...) -> output (K+1, ...) 16-bit limbs."""
-    K = t.shape[0]
-    pad = [(0, 1)] + [(0, 0)] * (t.ndim - 1)
-    t = jnp.pad(t, pad)
-    for _ in range(2):
-        t = (t & MASK) + _shift_up(t >> LIMB_BITS, 1)
-    g = (t >> LIMB_BITS) != 0
-    r = t & MASK
-    p = r == MASK
-    G, P = g, p
-    d = 1
-    while d < K + 1:
-        G = G | (P & _shift_up(G, d, False))
-        P = P & _shift_up(P, d, False)
-        d <<= 1
-    carry_in = _shift_up(G, 1, False)
-    return (r + carry_in.astype(U32)) & MASK
-
-
-def _twos_complement_sub_t(a, b_limbs):
-    """a - b over (L, ...): returns (diff limbs, no_borrow flag)."""
-    L = a.shape[0]
-    t = a + (MASK - b_limbs)
-    t = t.at[0].add(1)
-    f = _norm_ks(t)
-    return f[:L], f[L]
-
-
-def _conv_columns_t(a, b, width):
-    """Column sums of the product of limb vectors a (L, ...) x b (Lb, ...),
-    truncated to `width` columns. Expressed as stack(shifted b) * a +
-    reduce — pure elementwise/reduce (XLA fuses it); no scatter-adds,
-    which compile and run poorly."""
-    L = a.shape[0]
-    Lb = b.shape[0]
-    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    b = jnp.broadcast_to(b, (Lb,) + bshape)
-    tail = [(0, 0)] * (b.ndim - 1)
-    # bsh[i, k] = b[k - i]  (zero outside), shape (L, width, ...)
-    rows = []
-    for i in range(min(L, width)):
-        lo_pad = i
-        hi_pad = width - i - Lb
-        if hi_pad >= 0:
-            r = jnp.pad(b, [(lo_pad, hi_pad)] + tail)
-        else:
-            r = jnp.pad(b[:width - i], [(lo_pad, 0)] + tail)
-        rows.append(r)
-    bsh = jnp.stack(rows)                       # (L, width, ...)
-    p = a[:min(L, width), None] * bsh
-    lo = (p & MASK).sum(axis=0)
-    hi = (p >> LIMB_BITS).sum(axis=0)
-    # hi contributes one column up
-    hi_sh = jnp.pad(hi, [(1, 0)] + tail)[:width]
-    return (lo + hi_sh).astype(U32)
-
-
-def _const_t(cfg, limbs, ndim):
-    return jnp.asarray(limbs, dtype=U32).reshape(
-        (cfg.L,) + (1,) * (ndim - 1))
-
-
-def _cond_sub_mod_t(cfg, a, extra_carry=None):
-    mod = _const_t(cfg, cfg.mod_limbs, a.ndim)
-    diff, no_borrow = _twos_complement_sub_t(a, mod)
-    take = no_borrow != 0
-    if extra_carry is not None:
-        take = jnp.logical_or(take, extra_carry != 0)
-    return jnp.where(take[None], diff, a)
-
 
 def _bc2(cfg, a, b):
     """Broadcast two (L, *batch) operands to a common batch shape (batch
@@ -215,43 +139,19 @@ def _bc2(cfg, a, b):
 
 
 def _xla_add(cfg, a, b):
-    f = _norm_ks(a + b)
-    return _cond_sub_mod_t(cfg, f[:cfg.L], extra_carry=f[cfg.L])
+    return limbmath.add(cfg.P, a, b)
 
 
 def _xla_sub(cfg, a, b):
-    d, no_borrow = _twos_complement_sub_t(a, b)
-    mod = _const_t(cfg, cfg.mod_limbs, d.ndim)
-    d2 = _norm_ks(d + mod)[:cfg.L]
-    return jnp.where((no_borrow == 0)[None], d2, d)
+    return limbmath.sub(cfg.P, a, b)
 
 
 def _xla_neg(cfg, a):
-    mod = jnp.broadcast_to(_const_t(cfg, cfg.mod_limbs, a.ndim), a.shape)
-    d, _ = _twos_complement_sub_t(mod, a)
-    is_z = jnp.all(a == 0, axis=0, keepdims=True)
-    return jnp.where(is_z, a, d)
+    return limbmath.neg(cfg.P, a)
 
 
 def _xla_mul(cfg, a, b):
-    """REDC: (a*b + m*N)/R with m = (a*b mod R)*N' mod R."""
-    L = cfg.L
-    cshape = (1,) * (a.ndim - 1)
-    nprime = jnp.asarray(cfg.nprime_limbs, dtype=U32).reshape((L,) + cshape)
-    nmod = jnp.asarray(cfg.mod_limbs, dtype=U32).reshape((L,) + cshape)
-
-    T = _conv_columns_t(a, b, 2 * L + 1)
-    Tlow = T[:L]
-    Tl = Tlow & MASK
-    Th = Tlow >> LIMB_BITS
-    m_cols = _conv_columns_t(Tl, nprime, L) + \
-        _shift_up(_conv_columns_t(Th, nprime, L), 1)
-    m = _norm_ks(m_cols)[:L]
-    Uc = _conv_columns_t(m, nmod, 2 * L + 1)
-    Xn = _norm_ks(T + Uc)
-    r = Xn[L:2 * L]
-    extra = Xn[2 * L]
-    return _cond_sub_mod_t(cfg, r, extra_carry=extra)
+    return limbmath.mul(cfg.P, a, b)
 
 
 # jit-shared entry points: every call site becomes ONE pjit call instead of
