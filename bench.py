@@ -199,6 +199,50 @@ def persisted_setups():
     return sorted(out)
 
 
+def record_scored(height, window_bits, witness_s, prove_s):
+    """Persist the last successful scored timing next to the setup keys so
+    the driver-facing height choice is evidence-based."""
+    d = cache_dir(height, window_bits)
+    tmp = os.path.join(d, "scored.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"witness_s": witness_s, "prove_s": prove_s,
+                   "ts": time.time()}, f)
+    os.replace(tmp, os.path.join(d, "scored.json"))
+
+
+def scored_record(height, window_bits):
+    path = os.path.join(cache_dir(height, window_bits), "scored.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def choose_height(avail, deadline):
+    """Largest height whose LAST successful scored run fits comfortably in
+    the deadline (execution + per-process warmup headroom); falls back to
+    the largest persisted setup with no record, then the smallest."""
+    best_known = None
+    unknown = []
+    for h, w in avail:
+        rec = scored_record(h, w)
+        if rec is None:
+            unknown.append((h, w))
+        elif rec["witness_s"] + rec["prove_s"] < deadline * 0.35:
+            if best_known is None or h > best_known[0]:
+                best_known = (h, w)
+    if best_known:
+        # prefer a proven height; an unproven LARGER setup is tried only
+        # by explicit BENCH_HEIGHT
+        return best_known
+    if unknown:
+        return max(unknown)
+    return max(avail)
+
+
 _EMITTED = False
 _BEST = None        # (height, n, witness_s, prove_s, verified)
 
@@ -241,16 +285,16 @@ def main():
     # default height: the LARGEST persisted setup (climbing the ladder is
     # done offline via `bench.py setup`); env override wins; 6 if nothing
     # is persisted yet (falls back to an in-process build).
+    deadline = int(os.environ.get("BENCH_DEADLINE", "540"))
     avail = persisted_setups()
     if os.environ.get("BENCH_HEIGHT"):
         height = int(os.environ["BENCH_HEIGHT"])
     elif avail and not setup_only:
-        height, window_bits = max(avail)
+        height, window_bits = choose_height(avail, deadline)
     else:
         height = 6
 
     if not setup_only:
-        deadline = int(os.environ.get("BENCH_DEADLINE", "540"))
         signal.signal(signal.SIGALRM, _watchdog)
         signal.alarm(deadline)
 
@@ -303,6 +347,8 @@ def main():
             # BENCH_rNN (two rounds died with rc=124 and nothing captured)
             _emit(height, n, witness_s, prove_s, verify_proof)
             signal.alarm(0)
+            if verify_proof:
+                record_scored(height, window_bits, witness_s, prove_s)
     gen_proof_s = witness_s + prove_s
 
     # reference-style summary table (zprize_bench.rs four-column shape)

@@ -258,16 +258,25 @@ class MerkleLayout:
         node values device array (L, m_nodes))."""
         t = get_template()
 
-        # level-by-level batched Poseidon (bottom level first)
+        # level-by-level batched Poseidon (bottom level first). Every level
+        # is PADDED to the bottom level's batch so poseidon_states compiles
+        # for ONE shape instead of log2(m) shapes (per-process warmup cost;
+        # the padded lanes compute garbage that is sliced away).
         level_inputs = leaf_values_mont
+        max_b = max(leaf_values_mont.shape[1] // 2, 1)
         node_vals_levels = []    # bottom-up: list of (L, m_level)
         locals_blocks = []       # in gadget-emission order (bottom first)
         tag = None
         while level_inputs.shape[1] > 1:
             left = level_inputs[:, 0::2]
             right = level_inputs[:, 1::2]
-            states = pvec.poseidon_states(left, right)     # (64, L, b, 3)
             b = left.shape[1]
+            if b < max_b:
+                left = jnp.pad(left, ((0, 0), (0, max_b - b)))
+                right = jnp.pad(right, ((0, 0), (0, max_b - b)))
+            states = pvec.poseidon_states(left, right)     # (64, L, max_b, 3)
+            if b < max_b:
+                states = states[:, :, :b]
             outs = states[-1][..., 1]                      # (L, b)
             # locals: [tag, s0(3), ..., s63(3)] per gadget
             if tag is None:
