@@ -70,9 +70,13 @@ def pad_lookup_column(col, n):
     return col
 
 
-def preprocess(cs, srs, transcript: TranscriptProtocol):
-    """`StandardComposer::preprocess_prover` + `preprocess_shared`
-    (proof_system/preprocess.rs:162-492)."""
+def preprocess(cs, srs, transcript: TranscriptProtocol, pc=None):
+    """pc: optional PC backend (ref/pc.py); defaults to KZG over `srs`
+    (commitment.rs:8-56 HomomorphicCommitment parameterization)."""
+    from .pc import KzgPC
+    pc = pc or KzgPC(srs)
+    # `StandardComposer::preprocess_prover` + `preprocess_shared`
+    # (proof_system/preprocess.rs:162-492)
     n = cs.circuit_bound()
     domain = Domain(n)
     domain8 = Domain(8 * n)
@@ -80,7 +84,7 @@ def preprocess(cs, srs, transcript: TranscriptProtocol):
     # lookup table preprocessing (lookup/preprocess.rs:42-70)
     raw_cols = cs.lookup_table.columns()
     table_columns = [pad_lookup_column(c, n) for c in raw_cols]
-    table_commitments = [kzg.commit(srs, domain.ifft(c)) for c in table_columns]
+    table_commitments = [pc.commit(domain.ifft(c)) for c in table_columns]
 
     cs.pad_to(n)
 
@@ -96,9 +100,9 @@ def preprocess(cs, srs, transcript: TranscriptProtocol):
 
     commitments = {}
     for name in SELECTOR_ORDER:
-        commitments[name] = kzg.commit(srs, pk.selector_polys[name])
+        commitments[name] = pc.commit(pk.selector_polys[name])
     for name, poly in zip(SIGMA_NAMES, sigma_polys):
-        commitments[name] = kzg.commit(srs, poly)
+        commitments[name] = pc.commit(poly)
 
     # 8n coset evaluations
     for name in SELECTOR_ORDER:
@@ -157,8 +161,10 @@ def combine_split(t_col, f_col):
     return evens, odds
 
 
-def prove(cs, pk: ProverKey, srs, transcript: TranscriptProtocol):
-    """Clone of `Prover::prove_with_preprocessed` (prover.rs:171-660)."""
+def prove(cs, pk: ProverKey, srs, transcript: TranscriptProtocol, pc=None):
+    from .pc import KzgPC
+    pc = pc or KzgPC(srs)
+    # Clone of `Prover::prove_with_preprocessed` (prover.rs:171-660)
     n = pk.n
     domain = Domain(n)
     t = transcript
@@ -177,10 +183,10 @@ def prove(cs, pk: ProverKey, srs, transcript: TranscriptProtocol):
     w_o_poly = domain.ifft(w_o_scalar)
     w_4_poly = domain.ifft(w_4_scalar)
 
-    a_comm = kzg.commit(srs, w_l_poly)
-    b_comm = kzg.commit(srs, w_r_poly)
-    c_comm = kzg.commit(srs, w_o_poly)
-    d_comm = kzg.commit(srs, w_4_poly)
+    a_comm = pc.commit(w_l_poly)
+    b_comm = pc.commit(w_r_poly)
+    c_comm = pc.commit(w_o_poly)
+    d_comm = pc.commit(w_4_poly)
     t.append_g1(b"w_l", a_comm)
     t.append_g1(b"w_r", b_comm)
     t.append_g1(b"w_o", c_comm)
@@ -211,14 +217,14 @@ def prove(cs, pk: ProverKey, srs, transcript: TranscriptProtocol):
     compressed_f = [lc([f_cols[0][i], f_cols[1][i], f_cols[2][i],
                         f_cols[3][i]], zeta) for i in range(n)]
     f_poly = domain.ifft(compressed_f)
-    f_comm = kzg.commit(srs, f_poly)
+    f_comm = pc.commit(f_poly)
     t.append_g1(b"f", f_comm)
 
     h_1, h_2 = combine_split(compressed_t, compressed_f)
     h_1_poly = domain.ifft(h_1)
     h_2_poly = domain.ifft(h_2)
-    h_1_comm = kzg.commit(srs, h_1_poly)
-    h_2_comm = kzg.commit(srs, h_2_poly)
+    h_1_comm = pc.commit(h_1_poly)
+    h_2_comm = pc.commit(h_2_poly)
     t.append_g1(b"h1", h_1_comm)
     t.append_g1(b"h2", h_2_comm)
 
@@ -237,13 +243,13 @@ def prove(cs, pk: ProverKey, srs, transcript: TranscriptProtocol):
         domain, (w_l_scalar, w_r_scalar, w_o_scalar, w_4_scalar),
         beta, gamma, pk.sigma_evals_n)
     z_poly = domain.ifft(z_evals)
-    z_comm = kzg.commit(srs, z_poly)
+    z_comm = pc.commit(z_poly)
     t.append_g1(b"z", z_comm)
 
     z2_evals = compute_lookup_permutation_poly_evals(
         compressed_f, compressed_t, h_1, h_2, delta_ch, epsilon)
     z_2_poly = domain.ifft(z2_evals)
-    z_2_comm = kzg.commit(srs, z_2_poly)
+    z_2_comm = pc.commit(z_2_poly)
 
     # PI poly
     pi_evals = [0] * n
@@ -272,7 +278,7 @@ def prove(cs, pk: ProverKey, srs, transcript: TranscriptProtocol):
         range_sep, logic_sep, fbsm_sep, ca_sep, lookup_sep)
 
     t_i_polys = split_tx_poly(n, t_poly)
-    t_comms = [kzg.commit(srs, p) for p in t_i_polys]
+    t_comms = [pc.commit(p) for p in t_i_polys]
     for i in range(8):
         t.append_g1(b"t_" + str(i + 1).encode(), t_comms[i])
 
@@ -309,13 +315,13 @@ def prove(cs, pk: ProverKey, srs, transcript: TranscriptProtocol):
     aw_polys = [lin_poly, pk.sigma_polys[0], pk.sigma_polys[1],
                 pk.sigma_polys[2], f_poly, h_2_poly, table_poly,
                 w_l_poly, w_r_poly, w_o_poly, w_4_poly]
-    aw_opening = kzg.open_aggregate(srs, aw_polys, z_challenge, aw_challenge)
+    aw_opening = pc.open_aggregate(aw_polys, z_challenge, aw_challenge)
 
     saw_challenge = t.challenge_scalar(b"aggregate_witness")
     shifted = z_challenge * domain.element(1) % M
     saw_polys = [z_poly, w_l_poly, w_r_poly, w_4_poly, h_1_poly, z_2_poly,
                  table_poly]
-    saw_opening = kzg.open_aggregate(srs, saw_polys, shifted, saw_challenge)
+    saw_opening = pc.open_aggregate(saw_polys, shifted, saw_challenge)
 
     return Proof(
         a_comm=a_comm, b_comm=b_comm, c_comm=c_comm, d_comm=d_comm,

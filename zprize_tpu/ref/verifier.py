@@ -16,9 +16,12 @@ from . import kzg
 M = R_MOD
 
 
-def verify(vk, srs, proof, public_inputs, transcript: TranscriptProtocol):
-    """Returns True iff the proof verifies. `transcript` must be seeded with
-    the verifier key (preprocessing view), as in `verify_proof`."""
+def verify(vk, srs, proof, public_inputs, transcript: TranscriptProtocol,
+           pc=None):
+    from .pc import KzgPC
+    pc = pc or KzgPC(srs)
+    # Returns True iff the proof verifies; `transcript` must be seeded
+    # with the verifier key (preprocessing view), as in `verify_proof`.
     n = vk.n
     domain = Domain(n)
     t = transcript
@@ -116,12 +119,12 @@ def verify(vk, srs, proof, public_inputs, transcript: TranscriptProtocol):
                  ev.get_custom("b_next_eval"), ev.get_custom("d_next_eval"),
                  ev.h1_next_eval, ev.z2_next_eval, ev.table_next_eval]
 
-    ok1 = kzg.check(srs, aw_commits, z_ch, aw_evals, proof.aw_opening,
+    ok1 = pc.check(aw_commits, z_ch, aw_evals, proof.aw_opening,
                     aw_challenge)
     if not ok1:
         return False
     shifted = z_ch * domain.element(1) % M
-    return kzg.check(srs, saw_commits, shifted, saw_evals, proof.saw_opening,
+    return pc.check(saw_commits, shifted, saw_evals, proof.saw_opening,
                      saw_challenge)
 
 
