@@ -195,13 +195,17 @@ def _shift_identity(p, d, m):
                          jnp.zeros_like(v)) for k, v in p.items()}
 
 
-def xyzz_tree_sum(p, unroll_max=4):
+def xyzz_tree_sum(p, unroll_max=8192):
     """Sum a batch of points along the LAST batch axis, log-depth.
 
-    Compiles to ONE xyzz_add inside a fori_loop over log2(m) stride-doubling
-    steps (shape-constant Hillis-Steele), so graph size — and therefore XLA
-    compile time — is O(1) in m instead of O(log m) unrolled copies. Work is
-    ~2x the pairwise tree; latency identical. Tiny m stays unrolled."""
+    Default: a TRUE pairwise halving tree — log2(m) unrolled xyzz_add
+    calls at shrinking shapes, total work m point-adds. (Round 2/3 used a
+    shape-constant Hillis-Steele fori_loop to keep trace/compile size
+    O(1); that does m point-adds at EVERY level — m*log2(m) total, which
+    measured as the MSM hot spot at h10: ~9x the necessary adds at
+    capacity 728. With the array-wise kernels tracing is cheap, so the
+    unrolled tree wins everywhere practical; the fori fallback remains
+    for huge axes.)"""
     m = p["X"].shape[-1]
     if m <= unroll_max:
         while m > 1:

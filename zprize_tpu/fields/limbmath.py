@@ -133,16 +133,35 @@ def twos_complement_sub(a, b_limbs):
     return f[:L], f[L]
 
 
-def conv_cols(a, b, width):
+def conv_cols(a, b, width, stacked=False):
     """Column sums of the limb-vector product a (La, ...) x b (Lb, ...),
-    truncated to `width` columns — accumulation-loop formulation: O(La)
-    array ops, peak temporaries O(width x batch) (VMEM-friendly for the
-    Pallas context; XLA fuses it identically to the stacked form)."""
+    truncated to `width` columns. Two formulations, bit-identical results
+    (u32 addition is associative):
+      * loop-accumulate (default): O(La) array ops, peak temporaries
+        O(width x batch) — VMEM-friendly for the Pallas kernel context;
+      * stacked (stacked=True): materializes the (La, width, batch)
+        shifted-product tensor and reduces once — faster on XLA:CPU,
+        where the accumulation chain defeats vectorized reduction."""
     La = a.shape[0]
     Lb = b.shape[0]
     bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     tail = [(0, 0)] * len(bshape)
     b = jnp.broadcast_to(b, (Lb,) + bshape)
+    if stacked:
+        rows = []
+        for i in range(min(La, width)):
+            hi_pad = width - i - Lb
+            if hi_pad >= 0:
+                r = jnp.pad(b, [(i, hi_pad)] + tail)
+            else:
+                r = jnp.pad(b[:width - i], [(i, 0)] + tail)
+            rows.append(r)
+        bsh = jnp.stack(rows)                    # (La, width, ...)
+        p = a[:min(La, width), None] * bsh
+        lo = (p & MASK).sum(axis=0)
+        hi = (p >> LIMB_BITS).sum(axis=0)
+        hi_sh = jnp.pad(hi, [(1, 0)] + tail)[:width]
+        return (lo + hi_sh).astype(U32)
     T = jnp.zeros((width,) + bshape, dtype=U32)
     for i in range(min(La, width)):
         p = a[i] * b                        # (Lb, ...)
@@ -188,20 +207,20 @@ def neg(P, a):
     return jnp.where(is_z, a, d)
 
 
-def mul(P, a, b):
+def mul(P, a, b, stacked=False):
     """Montgomery REDC: (a*b + m*N)/R with m = (a*b mod R)*N' mod R."""
     L = P.L
     nprime = P.nprime(a.ndim)
     nmod = P.mod(a.ndim)
 
-    T = conv_cols(a, b, 2 * L + 1)
+    T = conv_cols(a, b, 2 * L + 1, stacked)
     Tlow = T[:L]
     Tl = Tlow & MASK
     Th = Tlow >> LIMB_BITS
-    m_cols = conv_cols(Tl, nprime, L) + \
-        shift_up(conv_cols(Th, nprime, L), 1)
+    m_cols = conv_cols(Tl, nprime, L, stacked) + \
+        shift_up(conv_cols(Th, nprime, L, stacked), 1)
     m = norm_ks(m_cols)[:L]
-    Uc = conv_cols(m, nmod, 2 * L + 1)
+    Uc = conv_cols(m, nmod, 2 * L + 1, stacked)
     Xn = norm_ks(T + Uc)
     r = Xn[L:2 * L]
     extra = Xn[2 * L]

@@ -151,7 +151,7 @@ def _xla_neg(cfg, a):
 
 
 def _xla_mul(cfg, a, b):
-    return limbmath.mul(cfg.P, a, b)
+    return limbmath.mul(cfg.P, a, b, stacked=True)
 
 
 # jit-shared entry points: every call site becomes ONE pjit call instead of

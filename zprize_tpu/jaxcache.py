@@ -38,6 +38,26 @@ def _install_cpu_fence():
             return _comp.backend_compile_and_load(
                 backend, computation, executable_devices, compile_options,
                 host_callbacks)
+        if os.environ.get("ZPRIZE_CACHE_DEBUG") == "1":
+            try:
+                import hashlib
+                from jax._src import cache_key as _ck
+                ho = hashlib.sha256()
+                _ck._hash_serialized_compile_options(ho, compile_options)
+                hc = hashlib.sha256()
+                _ck._hash_computation(hc, computation,
+                                      _ck.IgnoreCallbacks.NO)
+                name = "?"
+                try:
+                    from jax._src.lib.mlir import ir as _ir
+                    name = _ir.StringAttr(
+                        computation.operation.attributes["sym_name"]).value
+                except Exception:
+                    pass
+                print(f"# CACHEDBG {name} opts={ho.hexdigest()[:12]} "
+                      f"comp={hc.hexdigest()[:12]}", flush=True)
+            except Exception as e:
+                print(f"# CACHEDBG failed: {e}", flush=True)
         # the axon remote-compile tunnel occasionally drops mid-response
         # ("response body closed before all bytes were read"); a large
         # program compile is minutes of sunk cost — retry transient
@@ -62,6 +82,16 @@ def _install_cpu_fence():
                       flush=True)
                 _time.sleep(5.0 * (attempt + 1))
         raise last
+
+    if os.environ.get("ZPRIZE_CACHE_DEBUG") == "1":
+        _orig_key = _comp._get_cache_key
+
+        def _dbg_key(*a, **kw):
+            k = _orig_key(*a, **kw)
+            print(f"# CACHEDBG final_key {k}", flush=True)
+            return k
+
+        _comp._get_cache_key = _dbg_key
 
     _comp.compile_or_get_cached = _fenced
     _FENCED = True

@@ -183,6 +183,20 @@ def _pk_unflatten(aux, children):
 jax.tree_util.register_pytree_node(DevProverKey, _pk_flatten, _pk_unflatten)
 
 
+# NOTE on cross-process compile-cache stability (round 4 finding): the
+# big programs' cache keys vary with the process's TRACE HISTORY — the
+# nested-jit lowering cache makes a program's serialized StableHLO depend
+# on which shared subfunctions were lowered earlier (measured: identical
+# compile options, different computation hashes when _intt_jit was traced
+# before _commit_batch_jit). Input-layout canonicalization via
+# device_put(Format(...)) was tried and REVERTED: executables compiled
+# against explicitly-committed layouts fail at runtime on the axon
+# backend (INVALID_ARGUMENT). The working fix is deterministic trace
+# order: bench.py warms the cache from a subprocess that replays the
+# scored entrypoint exactly, so the driver's fresh process re-traces the
+# same order and hits every entry.
+
+
 # ---------------------------------------------------------------------------
 # commitments
 # ---------------------------------------------------------------------------
