@@ -41,6 +41,7 @@ from ..curve import g1 as jg1
 from ..protocol.proof import Proof, Evaluations
 from ..protocol import widgets_jax as W
 from ..ref.prover import combine_split
+from .. import aot
 
 M = R_MOD
 
@@ -241,6 +242,9 @@ def _commit_batch_jit(srs_x, srs_y, polys, wb, cap):
     return _fold_windows(ptsBW, wb), over
 
 
+_commit_batch_jit = aot.AotFn("commit_batch_jit", _commit_batch_jit)
+
+
 @partial(jax.jit, static_argnames=("wb", "cap", "mesh", "axis"))
 def _commit_batch_mesh_jit(srs_x, srs_y, polys, wb, cap, mesh, axis):
     """Meshed KZG commit batch: SRS points and scalars sharded over the
@@ -331,7 +335,8 @@ def commit_batch(dev_srs, polys, cfg):
                 pts, over = _commit_batch_mesh_jit(
                     srs_x, srs_y, chunk, wb, cap, cfg.mesh, cfg.mesh_axis)
             else:
-                pts, over = _commit_batch_jit(srs_x, srs_y, chunk, wb, cap)
+                pts, over = _commit_batch_jit(srs_x, srs_y, chunk, wb=wb,
+                                              cap=cap)
             chunks.append(pts)
             overs.append(over)
         if not int(np.asarray(jnp.concatenate(overs)).sum()):
@@ -624,6 +629,18 @@ def _open_jit(stack, coeffs, point):
     q, _ = jpoly.divide_linear(FR, agg, point)
     return jnp.concatenate(
         [q, jnp.zeros((q.shape[0], 1), dtype=q.dtype)], axis=1)
+
+
+# AOT export store: replayed from .bench_cache/aot in warm processes —
+# skips Python tracing (see aot.py). Plain jit is used inside traces, on
+# meshed inputs, and on CPU.
+_intt_jit = aot.AotFn("intt_jit", _intt_jit)
+_z_parts_jit = aot.AotFn("z_parts_jit", _z_parts_jit)
+_z_finish_jit = aot.AotFn("z_finish_jit", _z_finish_jit)
+_quotient_jit = aot.AotFn("quotient_jit", _quotient_jit)
+_eval_at_jit = aot.AotFn("eval_at_jit", _eval_at_jit)
+_lincomb_jit = aot.AotFn("lincomb_jit", _lincomb_jit)
+_open_jit = aot.AotFn("open_jit", _open_jit)
 
 
 # ---------------------------------------------------------------------------
