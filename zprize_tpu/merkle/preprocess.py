@@ -37,19 +37,29 @@ def preprocess_layout(lay: MerkleLayout, dev_srs: DevSRS, transcript,
     pk.n = n
     pk.log_n = log_n
 
-    sel_evals = jnp.stack(
-        [jnp.asarray(lay.selector_limbs[name]) for name in SELECTOR_ORDER],
-        axis=1)                                             # (L, 15, n)
-    sel_polys = _intt_jit(plan, sel_evals)
-    pk.sel_poly = {name: sel_polys[:, i]
+    # INTT the 15 selectors in batches of 5: one (L, 19, n) module at
+    # n = 2^20 crashes the remote compile helper (round-4 finding), and
+    # the (L, 5, n) shape is shared with round 1's wires+PI INTT.
+    sel_cols = [jnp.asarray(lay.selector_limbs[name])
+                for name in SELECTOR_ORDER]
+    sel_poly_chunks = []
+    for s in range(0, len(sel_cols), 5):
+        chunk = sel_cols[s:s + 5]
+        pad = 5 - len(chunk)
+        if pad:
+            chunk = chunk + [jnp.zeros_like(chunk[0])] * pad
+        out = _intt_jit(plan, jnp.stack(chunk, axis=1))
+        sel_poly_chunks.extend(out[:, i] for i in range(5 - pad))
+    pk.sel_poly = {name: sel_poly_chunks[i]
                    for i, name in enumerate(SELECTOR_ORDER)}
 
     sigma_evals = lay.sigma_evals_device()
     pk.sigma_evals_n = sigma_evals
-    sigma_polys = _intt_jit(plan, jnp.stack(sigma_evals, axis=1))
+    sigma_polys = _intt_jit(plan, jnp.stack(
+        sigma_evals + [jnp.zeros_like(sigma_evals[0])], axis=1))
     pk.sigma_poly = [sigma_polys[:, i] for i in range(4)]
 
-    all_polys = jnp.concatenate([sel_polys, sigma_polys], axis=1)
+    all_polys = jnp.stack(sel_poly_chunks + pk.sigma_poly, axis=1)
     comms = commit_batch(dev_srs, all_polys, cfg)
     commitments = {}
     for i, name in enumerate(SELECTOR_ORDER):
