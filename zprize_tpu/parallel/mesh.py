@@ -137,7 +137,7 @@ def four_step_ntt(fsp: FourStepPlan, mesh: Mesh, x_rows, axis="shard"):
 
     f = jax.shard_map(step, mesh=mesh,
                       in_specs=(P(None, axis), P(None, axis), P(), P()),
-                      out_specs=P(None, None, axis))
+                      out_specs=P(None, None, axis), check_vma=False)
     return f(x_rows, tw, p1, p2)
 
 
@@ -162,7 +162,7 @@ def four_step_intt_natural(fsp: FourStepPlan, mesh: Mesh, evals,
 
     f = jax.shard_map(step, mesh=mesh,
                       in_specs=(P(None, axis), P(None, axis), P(), P()),
-                      out_specs=P(None, None, axis))
+                      out_specs=P(None, None, axis), check_vma=False)
     out_rows = f(rows, twi, p1, p2)          # out[:, k1, k2] = x[k2 + n2*k1]
     return out_rows.reshape(L, n)
 
@@ -230,7 +230,9 @@ def sharded_poseidon_hashes(mesh, left, right, axis="shard"):
     """Batched Poseidon over a sharded batch (pure DP), (L, m) inputs."""
     from ..poseidon.vectorized import hash2_batch
 
+    # check_vma=False: the pallas field kernels build un-annotated
+    # ShapeDtypeStruct out_shapes, which jax>=0.9 rejects under vma checking
     f = jax.shard_map(hash2_batch, mesh=mesh,
                       in_specs=(P(None, axis), P(None, axis)),
-                      out_specs=P(None, axis))
+                      out_specs=P(None, axis), check_vma=False)
     return f(left, right)
