@@ -231,6 +231,62 @@ def xyzz_tree_sum(p, unroll_max=8192):
     return {k: v[..., 0] for k, v in p.items()}
 
 
+def affine_add_batched(ax, ay, bx, by):
+    """Batched affine + affine -> affine over (L, ...) arrays with (0,0)
+    identity, via ONE in-graph batched inversion per call (product tree +
+    a single Fermat exponentiation of the total): ~5M + 2S + ~3M
+    batch-inversion share per add, vs 12M + 2S for xyzz+xyzz. Full special
+    cases: either-identity, doubling (P+P), cancellation (P + (-P) -> 0).
+    The TPU-native counterpart of the reference MSM's batched affine
+    bucket additions (`msm/batch_addition.cuh:120-151`), with the
+    data-dependent serial batches replaced by whole-level vector selects.
+    jit-safe (no host round-trip)."""
+    inf_a = jnp.logical_and(mont.is_zero(ax), mont.is_zero(ay))
+    inf_b = jnp.logical_and(mont.is_zero(bx), mont.is_zero(by))
+    same_x = mont.eq(ax, bx)
+    same_y = mont.eq(ay, by)
+    dbl = jnp.logical_and(same_x, same_y)
+    cancel = jnp.logical_and(same_x, jnp.logical_not(same_y))
+    xx = _sqr(ax)
+    num = mont.select(dbl, _add(_add(xx, xx), xx), _sub(by, ay))
+    den = mont.select(dbl, _add(ay, ay), _sub(bx, ax))
+    degenerate = inf_a | inf_b | cancel
+    one = jnp.broadcast_to(
+        jnp.asarray(FQ.one_mont, dtype=U32).reshape(
+            (FQ.L,) + (1,) * (ax.ndim - 1)), ax.shape)
+    den_safe = mont.select(~degenerate, den, one)
+    inv = mont.inv_in_graph(FQ, den_safe)
+    lam = _mul(num, inv)
+    rx = _sub(_sub(_sqr(lam), ax), bx)
+    ry = _sub(_mul(lam, _sub(ax, rx)), ay)
+    zero = jnp.zeros_like(ax)
+    rx = mont.select(cancel, zero, rx)
+    ry = mont.select(cancel, zero, ry)
+    rx = mont.select(inf_b, ax, rx)
+    ry = mont.select(inf_b, ay, ry)
+    rx = mont.select(inf_a, bx, rx)
+    ry = mont.select(inf_a, by, ry)
+    return rx, ry
+
+
+def affine_tree_sum(x, y):
+    """Pairwise-halving tree over the LAST axis of batched affine (x, y)
+    with (0,0) identity, staying affine at every level (one batched
+    inversion per level, amortized over all leading batch dims). Returns
+    affine ((L, ...), (L, ...))."""
+    m = x.shape[-1]
+    while m > 1:
+        if m % 2:
+            pad = jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
+            x = jnp.concatenate([x, pad], axis=-1)
+            y = jnp.concatenate([y, pad], axis=-1)
+            m += 1
+        x, y = affine_add_batched(x[..., 0::2], y[..., 0::2],
+                                  x[..., 1::2], y[..., 1::2])
+        m //= 2
+    return x[..., 0], y[..., 0]
+
+
 def xyzz_to_affine_device(p):
     """Device xyzz batch -> affine (x, y) with (0,0) identity encoding.
     Uses ONE batched inversion for both ZZ and ZZZ. NOT jit-safe (host
@@ -251,11 +307,13 @@ def xyzz_to_affine_device(p):
 def xyzz_to_affine_host(p):
     """Pull a small xyzz batch to host -> Python-int affine tuples (or
     None) — the 'CPU collect' step (reference `msmcollect.cpp`)."""
-    flat = {k: v.reshape(FQ.L, -1) for k, v in p.items()}
-    X = FQ.from_mont_host(np.asarray(flat["X"]))
-    Y = FQ.from_mont_host(np.asarray(flat["Y"]))
-    ZZ = FQ.from_mont_host(np.asarray(flat["ZZ"]))
-    ZZZ = FQ.from_mont_host(np.asarray(flat["ZZZ"]))
+    flat = {k: p[k].reshape(FQ.L, -1) for k in _COORDS}
+    m = flat["X"].shape[1]
+    # ONE D2H pull for all four coordinate arrays (each np.asarray is a
+    # separate tunnel round-trip on the remote runtime)
+    allc = np.asarray(jnp.concatenate([flat[k] for k in _COORDS], axis=1))
+    ints = FQ.from_mont_host(allc)
+    X, Y, ZZ, ZZZ = (ints[i * m:(i + 1) * m] for i in range(4))
     from ..params import Q_MOD
     out = []
     for x, y, zz, zzz in zip(X, Y, ZZ, ZZZ):

@@ -284,6 +284,18 @@ def inv_apply(cfg, a, inv_total):
     return inv_cur[:, :n].reshape((cfg.L,) + batch)
 
 
+def inv_in_graph(cfg, a):
+    """Batched inversion of (L, *batch), FULLY in-graph (jit-safe, no host
+    round-trip): pairwise product tree (~1 mul/elt) + ONE Fermat
+    exponentiation of the 64-byte total (rolled fori_loop, ~2·|mod| tiny
+    muls) + down-sweep (~2 muls/elt). Elements MUST be units — zeros give
+    garbage. Used by the MSM's batched-affine bucket tree, one call per
+    tree level over a whole window group."""
+    total = prod_tree_total(cfg, a)
+    inv_total = mont_pow_fixed(cfg, total, cfg.inv_exp_bits)
+    return inv_apply(cfg, a, inv_total)
+
+
 def batch_inv(cfg, a):
     """Batched inversion along the batch axes of (L, *batch) via an
     up/down product tree (~3 muls/element, log-depth) + ONE host

@@ -156,6 +156,54 @@ def msm_window_grid(x_mont, y_mont, digits_w, window_bits, capacity):
     return w, overflow
 
 
+def window_group_size(n, window_bits, max_windows):
+    """Windows per scan step for the grouped grid: as many as fit a
+    ~2^21-slot gather budget (the batched-affine level inversions amortize
+    over the whole group), a power of two, at least 1."""
+    B = 1 << window_bits
+    C = bucket_capacity(n, window_bits)
+    g = max(1, int(2 ** 21) // (B * C))
+    g = 1 << (g.bit_length() - 1)
+    return min(g, max_windows)
+
+
+def msm_window_grid_batch(x_mont, y_mont, digits_gw, window_bits, capacity):
+    """G Pippenger windows at once: digits_gw (G, n). The per-bucket slot
+    grid is (G, B, C); bucket accumulation is a batched-AFFINE pairwise
+    tree (one in-graph batched inversion per level, shared by the whole
+    group — ~7 fq-mul per point-add vs ~14 in xyzz). Returns (xyzz dict of
+    (L, G) window points, (G,) overflow counts)."""
+    G, n = digits_gw.shape
+    B = 1 << window_bits
+    C = capacity
+    order = jnp.argsort(digits_gw, axis=-1)                    # (G, n)
+    d_s = jnp.take_along_axis(digits_gw, order, axis=-1)
+    targets = jnp.arange(B + 1, dtype=U32)
+    bounds = jax.vmap(
+        lambda row: jnp.searchsorted(row, targets))(d_s).astype(jnp.int32)
+    starts = bounds[:, :B]                                     # (G, B)
+    ends = bounds[:, 1:]
+    slot = starts[:, :, None] + jnp.arange(C, dtype=jnp.int32)[None, None, :]
+    valid = slot < ends[:, :, None]                            # (G, B, C)
+    valid = valid & (jnp.arange(B, dtype=U32) > 0)[None, :, None]
+    src = jnp.take_along_axis(
+        order, jnp.clip(slot, 0, n - 1).reshape(G, -1), axis=-1)
+    gx = jnp.take(x_mont, src.reshape(-1), axis=1).reshape(FQ.L, G, B, C)
+    gy = jnp.take(y_mont, src.reshape(-1), axis=1).reshape(FQ.L, G, B, C)
+    vm = valid[None]
+    gx = jnp.where(vm, gx, jnp.zeros_like(gx))
+    gy = jnp.where(vm, gy, jnp.zeros_like(gy))
+
+    over = jnp.maximum(ends - starts - C, 0)
+    overflow = jnp.sum(
+        jnp.where((jnp.arange(B) > 0)[None, :], over, 0), axis=1)   # (G,)
+
+    bx, by = g1.affine_tree_sum(gx, gy)                        # (L, G, B)
+    p = g1.xyzz_from_affine(bx, by)
+    w = weighted_bucket_fold(p)                                # (L, G)
+    return w, overflow
+
+
 def _msm_jit_body(x_mont, y_mont, digits, window_bits, capacity):
     """lax.scan over windows; returns (stacked window xyzz (W,L) dict,
     (W,) overflow)."""

@@ -222,7 +222,9 @@ def _fold_windows(pts, wb):
 @partial(jax.jit, static_argnames=("wb", "cap"))
 def _commit_batch_jit(srs_x, srs_y, polys, wb, cap):
     """KZG commit a batch: polys (L, B, n) Montgomery coeffs ->
-    (xyzz dict (L, B), overflow (B*W,)). kzg10.cu `commit` counterpart."""
+    (xyzz dict (L, B), overflow (B*W,)). kzg10.cu `commit` counterpart.
+    Windows run in GROUPS of G per scan step (grouped slot grid +
+    batched-affine bucket tree, `msm.msm_window_grid_batch`)."""
     L, B, n = polys.shape
     raw = mont.from_mont(FR, polys)                   # (16, B, n) raw limbs
     digits = jmsm.limbs16_to_digits(raw.reshape(16, B * n), wb)
@@ -230,16 +232,20 @@ def _commit_batch_jit(srs_x, srs_y, polys, wb, cap):
     # (W, B, n) -> (B, W, n) so each poly's windows are contiguous
     digits = jnp.swapaxes(digits.reshape(Wn, B, n), 0, 1).reshape(
         B * Wn, n)
+    G = jmsm.window_group_size(n, wb, B * Wn)
+    while (B * Wn) % G:
+        G //= 2
+    dig_g = digits.reshape(B * Wn // G, G, n)
 
-    def body(carry, d_w):
-        pt, over = jmsm.msm_window_grid(srs_x, srs_y, d_w, wb, cap)
+    def body(carry, d_g):
+        pt, over = jmsm.msm_window_grid_batch(srs_x, srs_y, d_g, wb, cap)
         return carry, (pt, over)
 
-    _, (pts, over) = jax.lax.scan(body, 0, digits)
-    # points are xyzz over Fq (FQ.L limbs, not FR.L)
-    ptsBW = {k: jnp.moveaxis(v.reshape(B, Wn, v.shape[-1]), (0, 1), (1, 2))
+    _, (pts, over) = jax.lax.scan(body, 0, dig_g)
+    # pts: dict of (n_groups, Lq, G); points are xyzz over Fq
+    ptsBW = {k: jnp.moveaxis(v, 1, 0).reshape(v.shape[1], B, Wn)
              for k, v in pts.items()}                 # (Lq, B, W)
-    return _fold_windows(ptsBW, wb), over
+    return _fold_windows(ptsBW, wb), over.reshape(-1)
 
 
 _commit_batch_jit = aot.AotFn("commit_batch_jit", _commit_batch_jit)
@@ -674,12 +680,16 @@ def prove_tpu(witness: "ProverWitness", dev_pk: DevProverKey,
     # ------------------------------------------------------------- round 1
     # the sparse-PI dense column rides along as a 5th INTT row: its
     # coefficients aren't needed until round 4, but batching it here saves
-    # a separate compiled program + dispatch
-    pi_dense = [0] * n
-    for pos, v in witness.public_inputs.items():
-        pi_dense[pos] = v
-    wires5 = jnp.stack(list(witness.wires_dev) + [_to_dev(pi_dense)],
-                       axis=1)
+    # a separate compiled program + dispatch. Built device-side from the
+    # sparse dict (pi.rs:55-80 as_evals counterpart) — a host dense-list
+    # conversion costs seconds of Python at n = 2^20.
+    pi_col = jnp.zeros((FR.L, n), dtype=U32)
+    if witness.public_inputs:
+        pos = np.fromiter(witness.public_inputs.keys(), dtype=np.int64)
+        vals = jnp.asarray(FR.to_mont_host(
+            [v % M for v in witness.public_inputs.values()]))    # (L, k)
+        pi_col = pi_col.at[:, pos].set(vals)
+    wires5 = jnp.stack(list(witness.wires_dev) + [pi_col], axis=1)
     wires = wires5[:, :4]                               # (L, 4, n)
     polys5 = _intt_jit(plan, wires5)                    # (L, 5, n)
     wire_polys, pi_poly = polys5[:, :4], polys5[:, 4]
