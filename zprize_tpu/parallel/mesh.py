@@ -135,6 +135,9 @@ def four_step_ntt(fsp: FourStepPlan, mesh: Mesh, x_rows, axis="shard"):
         # local result r[:, k2_local, k1] -> emit as (L, n1, n2/D)
         return jnp.swapaxes(r, 1, 2)
 
+    # check_vma=False: the pallas field kernels (mont.butterfly bodies)
+    # build un-annotated ShapeDtypeStruct out_shapes, which jax>=0.9
+    # rejects under vma checking (same at every pallas-bearing site here)
     f = jax.shard_map(step, mesh=mesh,
                       in_specs=(P(None, axis), P(None, axis), P(), P()),
                       out_specs=P(None, None, axis), check_vma=False)
@@ -160,6 +163,7 @@ def four_step_intt_natural(fsp: FourStepPlan, mesh: Mesh, evals,
         r = _local_ntt(p1, t, invert=True)
         return jnp.swapaxes(r, 1, 2)
 
+    # check_vma=False for the pallas butterfly kernels (see four_step_ntt)
     f = jax.shard_map(step, mesh=mesh,
                       in_specs=(P(None, axis), P(None, axis), P(), P()),
                       out_specs=P(None, None, axis), check_vma=False)
@@ -199,6 +203,7 @@ def sharded_msm_window_partials(mesh, x_mont, y_mont, digits_w,
                     for k, v in part.items()}       # (L, D)
         return g1.xyzz_tree_sum(gathered)
 
+    # check_vma=False for the pallas xyzz-add kernels (see four_step_ntt)
     f = jax.shard_map(step, mesh=mesh,
                       in_specs=(P(None, axis), P(None, axis), P(axis)),
                       out_specs=P(), check_vma=False)
@@ -216,6 +221,7 @@ def sharded_point_sum(mesh, x_mont, y_mont, axis="shard"):
                     for k, v in total.items()}      # (L, D)
         return g1.xyzz_tree_sum(gathered)
 
+    # check_vma=False for the pallas xyzz-add kernels (see four_step_ntt)
     f = jax.shard_map(step, mesh=mesh,
                       in_specs=(P(None, axis), P(None, axis)),
                       out_specs=P(), check_vma=False)
