@@ -66,6 +66,40 @@ def test_grouped_window_grid_matches_oracle():
 
 
 @pytest.mark.slow
+def test_msm_overflow_multipass():
+    """Adversarially repeated scalars (every bucket's occupancy far beyond
+    the Poisson capacity) must be drained by extra same-shape passes —
+    msm_window_xyzz point results must still match the oracle, with NO
+    recompile at a bigger capacity (capacity is pinned here)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zprize_tpu.curve import g1
+    from zprize_tpu.fields.limb import ints_to_limbs
+
+    rng = random.Random(7)
+    n = 64
+    pts = [g1_mul(G1_GEN, rng.randrange(1, 1000)) for _ in range(n)]
+    # one repeated scalar value for 3/4 of the points: its digit lands in
+    # the same bucket of every window, occupancy 48 >> cap
+    s_rep = rng.randrange(R_MOD)
+    scalars = [s_rep] * 48 + [rng.randrange(R_MOD) for _ in range(n - 48)]
+    dev = g1.affine_points_to_device(pts)
+    digits = jnp.asarray(ints_to_limbs(
+        [s % (1 << 256) for s in scalars], 16).T.copy())
+    cap = 8                                  # force ~6 passes
+    ptsT, wb = jmsm.msm_window_xyzz(dev, digits, window_bits=4,
+                                    capacity=cap)
+    wins = g1.xyzz_to_affine_host(ptsT)
+    from zprize_tpu.ref.curve import g1_add, g1_double
+    acc = None
+    for wp in reversed(wins):
+        for _ in range(wb):
+            acc = g1_double(acc)
+        acc = g1_add(acc, wp)
+    assert acc == g1_msm(pts, scalars)
+
+
+@pytest.mark.slow
 def test_affine_add_batched_cases():
     """affine_add_batched special cases: identity both sides, doubling,
     cancellation, and generic adds — vs the Python oracle."""

@@ -79,7 +79,8 @@ def main():
     # NOTE: wb/cap as KEYWORDS — the prover calls it that way and the AOT
     # export's pytree structure includes the args/kwargs split
     t(f"_commit_batch_jit B=2 wb={wb} cap={cap}",
-      lambda: tp._commit_batch_jit(srs_x, srs_y, polys2, wb=wb, cap=cap))
+      lambda: tp._commit_batch_jit(srs_x, srs_y, polys2, jnp.int32(0),
+                                   wb=wb, cap=cap))
 
     # full commit_batch host wrapper (4 wires)
     polys4 = jnp.stack([a] * 4, axis=1)

@@ -104,7 +104,7 @@ def main():
         for r in range(reps_n):
             t0 = time.time()
             pts, over = _commit_batch_jit(x_mont, y_mont, polys,
-                                          wb=wb, cap=cap)
+                                          jnp.int32(0), wb=wb, cap=cap)
             # np.asarray D2H: block_until_ready does NOT drain the async
             # queue on the axon runtime (round-1 lesson)
             _ = np.asarray(pts["X"]).ravel()[0]

@@ -95,7 +95,7 @@ if "msm" in sys.argv or len(sys.argv) == 1:
         wb = 16
         cap = jmsm.bucket_capacity(n, wb)
         print(f"  msm 2^{logn}: wb={wb} cap={cap}", flush=True)
-        f = jax.jit(lambda x, y, d: jmsm._msm_jit(x, y, d, wb, cap))
+        f = jax.jit(lambda x, y, d: jmsm._msm_jit(x, y, d, jnp.int32(0), wb, cap))
         t0 = time.time()
         out = f(x, y, digits); block(out)
         print(f"  msm16w 2^{logn}: compile+run {time.time()-t0:.2f}s",

@@ -117,18 +117,29 @@ def weighted_bucket_fold(S):
     return g1.xyzz_add(_double_k(hi, 8), lo)
 
 
-def msm_window_grid(x_mont, y_mont, digits_w, window_bits, capacity):
+def msm_window_grid(x_mont, y_mont, digits_w, window_bits, capacity,
+                    off=0):
     """One Pippenger window. x/y (L, n) Montgomery affine with (0,0)
     identity; digits_w (n,) u32. Returns (xyzz point dict of (L,) arrays,
-    overflow count)."""
+    overflow count).
+
+    `off` (int or traced i32 scalar) is the PASS OFFSET: slots
+    [off, off+C) of each bucket's sorted run are accumulated, and the
+    returned overflow counts the members beyond off+C. Static capacity is
+    Poisson-sized for pseudorandom digits; structured scalars (selector
+    polys have coefficient values repeated in pairs — measured worst
+    bucket 2.03x the Poisson cap at h13) are handled by the caller
+    re-running the SAME compiled program with off += C and point-adding
+    the per-pass results — never by recompiling a bigger grid."""
     n = digits_w.shape[0]
     B = 1 << window_bits
     C = capacity
+    off = jnp.asarray(off, dtype=jnp.int32)
     order = jnp.argsort(digits_w)
     d_s = jnp.take(digits_w, order)
     bounds = jnp.searchsorted(d_s, jnp.arange(B + 1, dtype=U32)).astype(
         jnp.int32)
-    starts = bounds[:B]
+    starts = bounds[:B] + off
     ends = bounds[1:]
     slot = starts[:, None] + jnp.arange(C, dtype=jnp.int32)[None, :]  # (B, C)
     valid = slot < ends[:, None]
@@ -140,7 +151,7 @@ def msm_window_grid(x_mont, y_mont, digits_w, window_bits, capacity):
     gx = jnp.where(vm, gx, jnp.zeros_like(gx))
     gy = jnp.where(vm, gy, jnp.zeros_like(gy))
 
-    # overflow: real (nonzero-digit) bucket members beyond capacity
+    # overflow: real (nonzero-digit) bucket members beyond this pass
     over = jnp.maximum(ends - starts - C, 0)
     overflow = jnp.sum(jnp.where(jnp.arange(B) > 0, over, 0))
 
@@ -167,21 +178,25 @@ def window_group_size(n, window_bits, max_windows):
     return min(g, max_windows)
 
 
-def msm_window_grid_batch(x_mont, y_mont, digits_gw, window_bits, capacity):
+def msm_window_grid_batch(x_mont, y_mont, digits_gw, window_bits, capacity,
+                          off=0):
     """G Pippenger windows at once: digits_gw (G, n). The per-bucket slot
     grid is (G, B, C); bucket accumulation is a batched-AFFINE pairwise
     tree (one in-graph batched inversion per level, shared by the whole
     group — ~7 fq-mul per point-add vs ~14 in xyzz). Returns (xyzz dict of
-    (L, G) window points, (G,) overflow counts)."""
+    (L, G) window points, (G,) overflow counts). `off` is the pass offset
+    (see msm_window_grid): callers drain overflowing buckets by re-running
+    with off += C and adding the window points."""
     G, n = digits_gw.shape
     B = 1 << window_bits
     C = capacity
+    off = jnp.asarray(off, dtype=jnp.int32)
     order = jnp.argsort(digits_gw, axis=-1)                    # (G, n)
     d_s = jnp.take_along_axis(digits_gw, order, axis=-1)
     targets = jnp.arange(B + 1, dtype=U32)
     bounds = jax.vmap(
         lambda row: jnp.searchsorted(row, targets))(d_s).astype(jnp.int32)
-    starts = bounds[:, :B]                                     # (G, B)
+    starts = bounds[:, :B] + off                               # (G, B)
     ends = bounds[:, 1:]
     slot = starts[:, :, None] + jnp.arange(C, dtype=jnp.int32)[None, None, :]
     valid = slot < ends[:, :, None]                            # (G, B, C)
@@ -204,42 +219,55 @@ def msm_window_grid_batch(x_mont, y_mont, digits_gw, window_bits, capacity):
     return w, overflow
 
 
-def _msm_jit_body(x_mont, y_mont, digits, window_bits, capacity):
+def _msm_jit_body(x_mont, y_mont, digits, off, window_bits, capacity):
     """lax.scan over windows; returns (stacked window xyzz (W,L) dict,
-    (W,) overflow)."""
+    (W,) overflow beyond slots [off, off+capacity))."""
     def body(carry, d_w):
         pt, over = msm_window_grid(x_mont, y_mont, d_w, window_bits,
-                                   capacity)
+                                   capacity, off)
         return carry, (pt, over)
 
     _, (pts, over) = jax.lax.scan(body, 0, digits)
     return pts, over
 
 
-_msm_jit = jax.jit(_msm_jit_body, static_argnums=(3, 4))
+_msm_jit = jax.jit(_msm_jit_body, static_argnums=(4, 5))
+
+
+@jax.jit
+def _xyzz_acc_jit(p, q):
+    """Accumulate per-pass window points (tiny (L, W)-shaped adds) — XLA
+    path: a pallas kernel at these widths would be a pointless extra
+    remote compile."""
+    with mont.xla_only():
+        return g1.xyzz_add(p, q)
 
 
 def msm_window_xyzz(points_dev, raw_scalar_limbs, window_bits=None,
                     capacity=None):
     """Run all windows on device; returns (xyzz dict of (L, W) arrays,
-    window_bits). Raises on capacity overflow after retrying with doubled
-    capacity."""
+    window_bits). Overflowing buckets (scalar distributions worse than the
+    Poisson sizing) are drained by extra passes of the SAME compiled
+    program at off += capacity — no recompilation, no host retry of the
+    whole MSM."""
     x_mont, y_mont = points_dev[0], points_dev[1]
     n = x_mont.shape[1]
     if window_bits is None:
         window_bits = auto_window_bits(n)
     digits = limbs16_to_digits(raw_scalar_limbs, window_bits)
     cap = capacity or bucket_capacity(n, window_bits)
+    total = None
+    off = 0
     while True:
-        pts, over = _msm_jit(x_mont, y_mont, digits, window_bits, cap)
-        total_over = int(np.asarray(over).sum())
-        if total_over == 0:
+        pts, over = _msm_jit(x_mont, y_mont, digits, jnp.int32(off),
+                             window_bits, cap)
+        # scan stacked along leading axis: (W, L) -> limbs-leading (L, W)
+        ptsT = {k: jnp.swapaxes(v, 0, 1) for k, v in pts.items()}
+        total = ptsT if total is None else _xyzz_acc_jit(total, ptsT)
+        if off >= n or not int(np.asarray(over).sum()):
             break
-        if cap >= n:
-            raise RuntimeError("msm bucket capacity overflow at cap=n")
-        cap = min(n, cap * 2)
-    # scan stacked along leading axis: (W, L) -> (L, W)
-    return {k: jnp.swapaxes(v, 0, 1) for k, v in pts.items()}, window_bits
+        off += cap
+    return total, window_bits
 
 
 def msm_window_points(points_dev, raw_scalar_limbs, window_bits=None,

@@ -220,11 +220,16 @@ def _fold_windows(pts, wb):
 
 
 @partial(jax.jit, static_argnames=("wb", "cap"))
-def _commit_batch_jit(srs_x, srs_y, polys, wb, cap):
+def _commit_batch_jit(srs_x, srs_y, polys, off, wb, cap):
     """KZG commit a batch: polys (L, B, n) Montgomery coeffs ->
     (xyzz dict (L, B), overflow (B*W,)). kzg10.cu `commit` counterpart.
     Windows run in GROUPS of G per scan step (grouped slot grid +
-    batched-affine bucket tree, `msm.msm_window_grid_batch`)."""
+    batched-affine bucket tree, `msm.msm_window_grid_batch`). `off` is the
+    TRACED bucket pass offset: overflowing scalar distributions are
+    drained by re-running this same program with off += cap and
+    point-adding the results (commit_batch drives the loop) — the window
+    fold is linear in the bucket sums, so per-pass folded commitments
+    add to the true commitment."""
     L, B, n = polys.shape
     raw = mont.from_mont(FR, polys)                   # (16, B, n) raw limbs
     digits = jmsm.limbs16_to_digits(raw.reshape(16, B * n), wb)
@@ -238,7 +243,8 @@ def _commit_batch_jit(srs_x, srs_y, polys, wb, cap):
     dig_g = digits.reshape(B * Wn // G, G, n)
 
     def body(carry, d_g):
-        pt, over = jmsm.msm_window_grid_batch(srs_x, srs_y, d_g, wb, cap)
+        pt, over = jmsm.msm_window_grid_batch(srs_x, srs_y, d_g, wb, cap,
+                                              off)
         return carry, (pt, over)
 
     _, (pts, over) = jax.lax.scan(body, 0, dig_g)
@@ -252,7 +258,7 @@ _commit_batch_jit = aot.AotFn("commit_batch_jit", _commit_batch_jit)
 
 
 @partial(jax.jit, static_argnames=("wb", "cap", "mesh", "axis"))
-def _commit_batch_mesh_jit(srs_x, srs_y, polys, wb, cap, mesh, axis):
+def _commit_batch_mesh_jit(srs_x, srs_y, polys, off, wb, cap, mesh, axis):
     """Meshed KZG commit batch: SRS points and scalars sharded over the
     mesh (data-parallel Pippenger). Each device runs the sort-based window
     grid on its point shard inside `shard_map` — the grid's argsort must
@@ -262,7 +268,7 @@ def _commit_batch_mesh_jit(srs_x, srs_y, polys, wb, cap, mesh, axis):
     from jax.sharding import PartitionSpec as P
     L, B, n = polys.shape
 
-    def step(xs, ys, ps):
+    def step(xs, ys, ps, off):
         raw = mont.from_mont(FR, ps)                  # (16, B, nloc)
         nloc = raw.shape[-1]
         digits = jmsm.limbs16_to_digits(raw.reshape(16, B * nloc), wb)
@@ -271,7 +277,7 @@ def _commit_batch_mesh_jit(srs_x, srs_y, polys, wb, cap, mesh, axis):
             B * Wn, nloc)
 
         def body(carry, d_w):
-            pt, over = jmsm.msm_window_grid(xs, ys, d_w, wb, cap)
+            pt, over = jmsm.msm_window_grid(xs, ys, d_w, wb, cap, off)
             return carry, (pt, over)
 
         _, (pts, over) = jax.lax.scan(body, 0, digits)
@@ -284,9 +290,9 @@ def _commit_batch_mesh_jit(srs_x, srs_y, polys, wb, cap, mesh, axis):
 
     f = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(None, None, axis)),
+        in_specs=(P(None, axis), P(None, axis), P(None, None, axis), P()),
         out_specs=(P(), P()), check_vma=False)
-    tot, over = f(srs_x, srs_y, polys)
+    tot, over = f(srs_x, srs_y, polys, off)
     Wn = tot["X"].shape[1] // B
     ptsBW = {k: v.reshape(v.shape[0], B, Wn) for k, v in tot.items()}
     return _fold_windows(ptsBW, wb), over
@@ -295,6 +301,14 @@ def _commit_batch_mesh_jit(srs_x, srs_y, polys, wb, cap, mesh, axis):
 def _xyzz_to_host_points(pts):
     """xyzz dict (L, B) -> list of B affine int points / None."""
     return jg1.xyzz_to_affine_host(pts)
+
+
+@jax.jit
+def _xyzz_acc_small_jit(p, q):
+    """Accumulate per-pass chunk commitments ((L, COMMIT_CHUNK) adds) on
+    the XLA path — tiny widths don't merit a pallas remote compile."""
+    with mont.xla_only():
+        return jg1.xyzz_add(p, q)
 
 
 # Commits are chunked to a canonical batch width so EVERY commit in the
@@ -333,23 +347,35 @@ def commit_batch(dev_srs, polys, cfg):
             [polys, jnp.zeros((polys.shape[0], pad, n), dtype=polys.dtype)],
             axis=1)
 
-    while True:
-        chunks, overs = [], []
-        for i in range(0, B + pad, C):
-            chunk = jax.lax.slice_in_dim(polys, i, i + C, axis=1)
-            if meshed:
-                pts, over = _commit_batch_mesh_jit(
-                    srs_x, srs_y, chunk, wb, cap, cfg.mesh, cfg.mesh_axis)
-            else:
-                pts, over = _commit_batch_jit(srs_x, srs_y, chunk, wb=wb,
-                                              cap=cap)
-            chunks.append(pts)
-            overs.append(over)
-        if not int(np.asarray(jnp.concatenate(overs)).sum()):
-            break
-        if cap >= n_local:
-            raise RuntimeError("msm bucket capacity overflow at cap=n")
-        cap = min(n_local, cap * 2)
+    # pass 0 for every chunk, ONE overflow pull; chunks whose scalar
+    # distribution beats the Poisson capacity (selector polys: measured
+    # worst bucket 2.03x cap at h13) get extra passes of the SAME
+    # compiled program at off += cap — never a recompile at a bigger cap
+    # (the old doubling retry compiled minutes-long programs mid-run and
+    # at n=2^20 drove the TPU worker into the ground)
+    def run_chunk(i, off):
+        chunk = jax.lax.slice_in_dim(polys, i, i + C, axis=1)
+        if meshed:
+            return _commit_batch_mesh_jit(
+                srs_x, srs_y, chunk, jnp.int32(off), wb, cap, cfg.mesh,
+                cfg.mesh_axis)
+        return _commit_batch_jit(srs_x, srs_y, chunk, jnp.int32(off),
+                                 wb=wb, cap=cap)
+
+    starts = list(range(0, B + pad, C))
+    chunks, overs = [], []
+    for i in starts:
+        pts, over = run_chunk(i, 0)
+        chunks.append(pts)
+        overs.append(over)
+    over_np = [int(np.asarray(o).sum()) for o in overs]
+    for ci, i in enumerate(starts):
+        off = cap
+        while over_np[ci] and off < n_local:
+            pts, over = run_chunk(i, off)
+            chunks[ci] = _xyzz_acc_small_jit(chunks[ci], pts)
+            over_np[ci] = int(np.asarray(over).sum())
+            off += cap
     pts = {k: jnp.concatenate([c[k] for c in chunks], axis=1)[:, :B]
            for k in chunks[0]}
     return _xyzz_to_host_points(pts)
